@@ -1,0 +1,179 @@
+"""Residual vector quantization with EMA codebooks — functional jnp.
+
+Replaces the reference's dependency on lucidrains' vector-quantize-pytorch
+(reference contract: quantize.py:89-150; model config: dim=3, codebook_size=8,
+num_quantizers=2, kmeans init with 5 iters, EMA decay 0.8, commitment
+weight 1.0, gaussianimage_cholesky.py:48). All state — codebooks, EMA cluster
+sizes, EMA embed sums, init flag — is an explicit pytree carried through the
+jitted train step (no module mutation), so codebook updates run fused on TPU.
+
+Semantics per layer (EMA codebook, straight-through estimator):
+  indices = argmin_s ||r - e_s||^2 over residual r
+  quantized = e[indices]; out_layer = r + stop_grad(quantized - r)
+  commit loss = mean((stop_grad(quantized) - r)^2) * commitment_weight
+  EMA: n_s <- d*n_s + (1-d)*count_s ; m_s <- d*m_s + (1-d)*sum_{i: idx=s} r_i
+  e_s = m_s / laplace_smoothed(n_s)
+Residual stack: r_{l+1} = r_l - quantized_l, output = sum_l out contributions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ResidualVQState(NamedTuple):
+    embed: jnp.ndarray        # [Q, S, D] codebooks
+    cluster_size: jnp.ndarray  # [Q, S] EMA counts
+    embed_avg: jnp.ndarray    # [Q, S, D] EMA sums
+    initted: jnp.ndarray      # [] bool
+
+
+def _kmeans(key, x, num_clusters, iters):
+    """Plain k-means on [N, D]; returns (centers [S, D], counts [S])."""
+    N = x.shape[0]
+    idx = jax.random.choice(key, N, (num_clusters,), replace=False)
+    centers = x[idx]
+
+    def step(centers, _):
+        d = jnp.sum((x[:, None, :] - centers[None]) ** 2, axis=-1)  # [N, S]
+        assign = jnp.argmin(d, axis=1)
+        one_hot = jax.nn.one_hot(assign, num_clusters, dtype=x.dtype)  # [N, S]
+        counts = one_hot.sum(axis=0)
+        sums = one_hot.T @ x
+        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1),
+                        centers)
+        return new, counts
+
+    centers, counts = jax.lax.scan(step, centers, None, length=iters)
+    return centers, counts[-1]
+
+
+class ResidualVQ:
+    def __init__(self, dim: int = 3, codebook_size: int = 8,
+                 num_quantizers: int = 2, kmeans_iters: int = 5,
+                 decay: float = 0.8, commitment_weight: float = 1.0,
+                 eps: float = 1e-5):
+        self.dim = dim
+        self.codebook_size = codebook_size
+        self.num_quantizers = num_quantizers
+        self.kmeans_iters = kmeans_iters
+        self.decay = decay
+        self.commitment_weight = commitment_weight
+        self.eps = eps
+
+    def init_state(self) -> ResidualVQState:
+        Q, S, D = self.num_quantizers, self.codebook_size, self.dim
+        return ResidualVQState(
+            embed=jnp.zeros((Q, S, D), jnp.float32),
+            cluster_size=jnp.zeros((Q, S), jnp.float32),
+            embed_avg=jnp.zeros((Q, S, D), jnp.float32),
+            initted=jnp.zeros((), bool),
+        )
+
+    def _kmeans_init(self, key, x) -> ResidualVQState:
+        """Sequential residual k-means across layers."""
+        embeds, counts_all = [], []
+        resid = x
+        for qi in range(self.num_quantizers):
+            k = jax.random.fold_in(key, qi)
+            centers, counts = _kmeans(k, resid, self.codebook_size,
+                                      self.kmeans_iters)
+            embeds.append(centers)
+            counts_all.append(counts)
+            d = jnp.sum((resid[:, None] - centers[None]) ** 2, axis=-1)
+            resid = resid - centers[jnp.argmin(d, axis=1)]
+        embed = jnp.stack(embeds)
+        cs = jnp.stack(counts_all)
+        return ResidualVQState(embed=embed, cluster_size=cs,
+                               embed_avg=embed * cs[..., None],
+                               initted=jnp.ones((), bool))
+
+    def _layer(self, embed, resid):
+        d = (jnp.sum(resid**2, axis=1, keepdims=True)
+             - 2.0 * resid @ embed.T
+             + jnp.sum(embed**2, axis=1)[None])
+        idx = jnp.argmin(d, axis=1)
+        quant = embed[idx]
+        return idx, quant
+
+    def __call__(
+        self,
+        state: ResidualVQState,
+        x: jnp.ndarray,
+        training: bool = True,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, ResidualVQState]:
+        """Quantize [N, D]. Returns (out, indices [N, Q], commit_loss, state).
+
+        In training mode the EMA/codebook update is applied and (on first
+        call) codebooks are k-means-initialized from the batch.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        if training:
+            state = jax.lax.cond(
+                state.initted,
+                lambda: state,
+                lambda: self._kmeans_init(key, jax.lax.stop_gradient(x)),
+            )
+
+        resid = x
+        out = jnp.zeros_like(x)
+        indices = []
+        commit = jnp.zeros((), jnp.float32)
+        new_embed, new_cs, new_avg = [], [], []
+        for qi in range(self.num_quantizers):
+            embed = state.embed[qi]
+            idx, quant = self._layer(embed, jax.lax.stop_gradient(resid))
+            indices.append(idx)
+            commit = commit + self.commitment_weight * jnp.mean(
+                (jax.lax.stop_gradient(quant) - resid) ** 2)
+            # straight-through: gradient of `out` flows to x
+            out = out + resid + jax.lax.stop_gradient(quant - resid)
+
+            if training:
+                one_hot = jax.nn.one_hot(idx, self.codebook_size,
+                                         dtype=jnp.float32)
+                counts = one_hot.sum(axis=0)
+                sums = one_hot.T @ jax.lax.stop_gradient(resid)
+                cs = state.cluster_size[qi] * self.decay + counts * (1 - self.decay)
+                avg = state.embed_avg[qi] * self.decay + sums * (1 - self.decay)
+                n = cs.sum()
+                smoothed = (cs + self.eps) / (n + self.codebook_size * self.eps) * n
+                emb = avg / jnp.maximum(smoothed[:, None], 1e-12)
+                new_embed.append(emb)
+                new_cs.append(cs)
+                new_avg.append(avg)
+
+            resid = resid - jax.lax.stop_gradient(quant)
+
+        # out == sum_l quant_l in value; each layer contributes an identity
+        # STE passthrough, so d out / d x == num_quantizers (matching the
+        # vector-quantize-pytorch ResidualVQ the reference trained with).
+
+        if training:
+            state = ResidualVQState(
+                embed=jnp.stack(new_embed),
+                cluster_size=jnp.stack(new_cs),
+                embed_avg=jnp.stack(new_avg),
+                initted=state.initted | True,
+            )
+        idx_arr = jnp.stack(indices, axis=1)  # [N, Q]
+        return out, idx_arr, commit, state
+
+    def compress(self, state: ResidualVQState, x: jnp.ndarray):
+        """Returns (dequantized, indices [N, Q]) without state update."""
+        out, idx, _, _ = self(state, x, training=False)
+        return out, idx
+
+    def decompress(self, state: ResidualVQState, indices: jnp.ndarray):
+        """Sum of codebook lookups over residual layers (reference
+        quantize.py:146-150)."""
+        recon = jnp.zeros((indices.shape[0], self.dim), jnp.float32)
+        for qi in range(self.num_quantizers):
+            recon = recon + state.embed[qi][indices[:, qi]]
+        return recon

@@ -1,0 +1,103 @@
+"""GaussianImage-Cholesky — the flagship 2D Gaussian image model.
+
+Parameterization and semantics per the reference (gaussianimage_cholesky.py):
+ - _xyz [N,2] in atanh space, means = tanh(_xyz) in (-1,1)     (:28-30,62)
+ - _cholesky [N,3] raw; L elements = _cholesky + (0.5, 0, 0.5) (:32,42,74)
+ - _features_dc [N,3] colors (raw, no activation)              (:34,66)
+ - opacity fixed at 1                                          (:33)
+ - grid init when num_points == H*W                            (:25-28)
+ - render: project + accumulated-sum rasterize, clamp [0,1]    (:76-99)
+ - QAT path quantizes xyz (fp16 STE), cholesky (6-bit learned
+   uniform), colors (residual VQ)                              (:126-139)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaussianimage_tpu.core import project_gaussians_2d
+from gaussianimage_tpu.models.base import GaussianModelBase, ModelConfig
+from gaussianimage_tpu.ops import rasterize_gaussians_sum
+
+CHOLESKY_BOUND = jnp.asarray([0.5, 0.0, 0.5], jnp.float32)
+
+
+class GaussianImageCholesky(GaussianModelBase):
+    name = "GaussianImage_Cholesky"
+
+    def init_params(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        k1, k2, k3 = jax.random.split(key, 3)
+        N = cfg.num_points
+        if N == cfg.H * cfg.W:
+            ys = jnp.linspace(-1.0, 1.0, cfg.H)
+            xs = jnp.linspace(-1.0, 1.0, cfg.W)
+            grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+            xyz = jnp.arctanh(grid.reshape(-1, 2) * (1 - 1e-4))
+        else:
+            u = jax.random.uniform(k1, (N, 2), minval=-(1 - 1e-6),
+                                   maxval=1 - 1e-6)
+            xyz = jnp.arctanh(u)
+        return {
+            "_xyz": xyz.astype(jnp.float32),
+            "_cholesky": jax.random.uniform(k2, (N, 3)).astype(jnp.float32),
+            "_features_dc": jax.random.uniform(k3, (N, 3)).astype(jnp.float32),
+        }
+
+    # activations ----------------------------------------------------------
+    @staticmethod
+    def get_xyz(params):
+        return jnp.tanh(params["_xyz"])
+
+    @staticmethod
+    def get_cholesky_elements(params):
+        return params["_cholesky"] + CHOLESKY_BOUND
+
+    @staticmethod
+    def get_features(params):
+        return params["_features_dc"]
+
+    # rendering -------------------------------------------------------------
+    def _rasterize(self, means, chol, colors, opacities):
+        cfg = self.cfg
+        xys, _, radii, conics, _ = project_gaussians_2d(
+            means, chol, cfg.H, cfg.W, cfg.tile_bounds)
+        img, alpha, aux = rasterize_gaussians_sum(
+            xys, conics, colors, opacities, cfg.H, cfg.W, radii=radii,
+            config=cfg.raster)
+        return img, alpha, aux, xys, radii
+
+    def render(self, params, *, key: Optional[jax.Array] = None, iteration=0,
+               extra=None, render_viz: bool = False, **kw):
+        cfg = self.cfg
+        N = params["_xyz"].shape[0]
+        opac = jnp.ones((N, 1), jnp.float32)
+        img, alpha, aux, xys, radii = self._rasterize(
+            self.get_xyz(params), self.get_cholesky_elements(params),
+            self.get_features(params), opac)
+        if not cfg.no_clamp:
+            img = jnp.clip(img, 0.0, 1.0)
+        out = {
+            "render": img.transpose(2, 0, 1)[None],          # [1,3,H,W]
+            "alpha_map": alpha[None, None],                  # [1,1,H,W]
+            "final_opacities": opac,
+            "xys": xys,
+            "raster_aux": aux,
+        }
+        if render_viz:
+            # gaussian-shape visualization with fixed random colors
+            # (reference renders self.random_colors * 0.5, :88-92)
+            viz_colors = 0.5 * jax.random.uniform(
+                jax.random.PRNGKey(1234), (N, 3))
+            gimg, _, _, _, _ = self._rasterize(
+                jax.lax.stop_gradient(self.get_xyz(params)),
+                jax.lax.stop_gradient(self.get_cholesky_elements(params)),
+                viz_colors, opac)
+            out["gauss_render"] = jnp.clip(gimg, 0, 1).transpose(2, 0, 1)[None]
+        return out
+
+    def forward(self, params, **kw):
+        return self.render(params, **kw)

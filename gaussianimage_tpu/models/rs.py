@@ -1,0 +1,79 @@
+"""GaussianImage-RS — rotation-scale covariance variant.
+
+Reference semantics (gaussianimage_rs.py):
+ - _scaling [N,2] raw; scales = |_scaling + 0.5|          (:27,54-56)
+ - _rotation [N,1] raw; theta = sigmoid(_rotation)*2*pi   (:29,58-60)
+ - means / colors / opacity as in the Cholesky variant
+ - QAT quantizes scaling (6-bit), rotation (6-bit), colors (RVQ),
+   xyz (fp16)                                             (:38-42,97-110)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaussianimage_tpu.core import project_gaussians_2d_scale_rot
+from gaussianimage_tpu.models.base import GaussianModelBase
+
+SCALING_BOUND = jnp.asarray([0.5, 0.5], jnp.float32)
+
+
+class GaussianImageRS(GaussianModelBase):
+    name = "GaussianImage_RS"
+
+    def init_params(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        N = cfg.num_points
+        u = jax.random.uniform(k1, (N, 2), minval=-(1 - 1e-6), maxval=1 - 1e-6)
+        return {
+            "_xyz": jnp.arctanh(u).astype(jnp.float32),
+            "_scaling": jax.random.uniform(k2, (N, 2)).astype(jnp.float32),
+            "_rotation": jax.random.uniform(k3, (N, 1)).astype(jnp.float32),
+            "_features_dc": jax.random.uniform(k4, (N, 3)).astype(jnp.float32),
+        }
+
+    @staticmethod
+    def get_xyz(params):
+        return jnp.tanh(params["_xyz"])
+
+    @staticmethod
+    def get_scaling(params):
+        return jnp.abs(params["_scaling"] + SCALING_BOUND)
+
+    @staticmethod
+    def get_rotation(params):
+        return jax.nn.sigmoid(params["_rotation"]) * (2.0 * math.pi)
+
+    @staticmethod
+    def get_features(params):
+        return params["_features_dc"]
+
+    def render(self, params, *, key: Optional[jax.Array] = None, iteration=0,
+               extra=None, **kw):
+        cfg = self.cfg
+        from gaussianimage_tpu.ops import rasterize_gaussians_sum
+
+        N = params["_xyz"].shape[0]
+        opac = jnp.ones((N, 1), jnp.float32)
+        xys, _, radii, conics, _ = project_gaussians_2d_scale_rot(
+            self.get_xyz(params), self.get_scaling(params),
+            self.get_rotation(params), cfg.H, cfg.W, cfg.tile_bounds)
+        img, alpha, aux = rasterize_gaussians_sum(
+            xys, conics, self.get_features(params), opac, cfg.H, cfg.W,
+            radii=radii, config=cfg.raster)
+        img = jnp.clip(img, 0.0, 1.0)
+        return {
+            "render": img.transpose(2, 0, 1)[None],
+            "alpha_map": alpha[None, None],
+            "final_opacities": opac,
+            "xys": xys,
+            "raster_aux": aux,
+        }
+
+    def forward(self, params, **kw):
+        return self.render(params, **kw)
