@@ -28,5 +28,16 @@ def register_models():
     return MODEL_REGISTRY
 
 
+def make_model(model_name: str, **config_kwargs):
+    """Factory: model name (reference naming, train.py:103-123) + config."""
+    registry = register_models()
+    if model_name not in registry:
+        raise ValueError(
+            f"unknown model {model_name}; options: {sorted(registry)}")
+    cfg = ModelConfig(**config_kwargs)
+    return registry[model_name](cfg)
+
+
 __all__ = ["ModelConfig", "TrainState", "GaussianImageCholesky",
-           "GaussianImageRS", "register_models", "MODEL_REGISTRY"]
+           "GaussianImageRS", "register_models", "make_model",
+           "MODEL_REGISTRY"]

@@ -29,6 +29,24 @@ from gaussianimage_tpu.utils.losses import loss_fn as _loss_fn
 
 
 @dataclasses.dataclass(frozen=True)
+class MaskConfig:
+    """Learnable-pruning-mask options (reference fork's wMask model,
+    gaussianimage_cholesky_wMask.py:24-58 / train.py:310-326)."""
+    start_mask_training: int = 0
+    stop_mask_training: int = 50000
+    reg_type: str = "kl"  # kl | ada_kl | l1 | l1sq
+    target_sparsity: float = 0.7
+    lambda_reg: float = 0.005
+    init_mask_logit: float = 2.0
+    use_ema: bool = False
+    use_score: bool = False
+    temp_init: float = 0.5
+    temp_final: float = 0.5
+    ema_decay: float = 0.99
+    mask_lr: float = 0.005
+
+
+@dataclasses.dataclass(frozen=True)
 class ModelConfig:
     num_points: int
     H: int
@@ -44,6 +62,7 @@ class ModelConfig:
     quantize: bool = False
     no_clamp: bool = False
     sh_degree: int = 3  # 3DGS only
+    mask: Optional[MaskConfig] = None  # wMask variant only
     raster: RasterizeConfig = RasterizeConfig()
 
     @property
@@ -87,6 +106,11 @@ class GaussianModelBase:
     def update_extra(self, extra, params, aux, iteration):
         """Post-step carried-state update (EMA masks, VQ codebooks, ...)."""
         return extra
+
+    def post_update(self, params, extra, iteration):
+        """Post-step params rewrite hook (e.g. wMask logit finalization at the
+        stop-mask iteration, reference gaussianimage_cholesky_wMask.py:259-265)."""
+        return params
 
     # -- optimizer ---------------------------------------------------------
     def lr_schedule(self):
@@ -135,6 +159,7 @@ class GaussianModelBase:
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         extra = self.update_extra(state.extra, params, aux, iteration)
+        params = self.post_update(params, extra, iteration)
         psnr = 10.0 * jnp.log10(1.0 / jnp.maximum(aux["mse"], 1e-12))
         return TrainState(params, opt_state, extra), {"loss": loss, "psnr": psnr}
 

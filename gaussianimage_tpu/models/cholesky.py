@@ -61,6 +61,17 @@ class GaussianImageCholesky(GaussianModelBase):
         return params["_features_dc"]
 
     # rendering -------------------------------------------------------------
+    def splat(self, params):
+        """Projected splat tuple (xys, radii, conics, colors, opacities) —
+        the model-agnostic interface the sharded/parallel paths consume."""
+        cfg = self.cfg
+        xys, _, radii, conics, _ = project_gaussians_2d(
+            self.get_xyz(params), self.get_cholesky_elements(params),
+            cfg.H, cfg.W, cfg.tile_bounds)
+        N = params["_xyz"].shape[0]
+        return (xys, radii, conics, self.get_features(params),
+                jnp.ones((N, 1), jnp.float32))
+
     def _rasterize(self, means, chol, colors, opacities):
         cfg = self.cfg
         xys, _, radii, conics, _ = project_gaussians_2d(

@@ -53,6 +53,16 @@ class GaussianImageRS(GaussianModelBase):
     def get_features(params):
         return params["_features_dc"]
 
+    def splat(self, params):
+        """Projected splat tuple for the sharded/parallel paths."""
+        cfg = self.cfg
+        xys, _, radii, conics, _ = project_gaussians_2d_scale_rot(
+            self.get_xyz(params), self.get_scaling(params),
+            self.get_rotation(params), cfg.H, cfg.W, cfg.tile_bounds)
+        N = params["_xyz"].shape[0]
+        return (xys, radii, conics, self.get_features(params),
+                jnp.ones((N, 1), jnp.float32))
+
     def render(self, params, *, key: Optional[jax.Array] = None, iteration=0,
                extra=None, **kw):
         cfg = self.cfg

@@ -41,6 +41,8 @@ from gaussianimage_tpu.ops.tiles import (
     block_hit_matrix,
     build_pairs,
     spatial_sort_order,
+    unpack_col,
+    unpack_row,
 )
 
 _C = 8  # padded channel count: rgb + alpha + 4 pad (sublane-aligned)
@@ -50,8 +52,9 @@ class RasterizeConfig(NamedTuple):
     tile_px: int = 16          # square image tile side (reference BLOCK 16x16)
     block_g: int = 128         # gaussians per block (culling granularity)
     q_cut: float = 9.0         # mahalanobis cutoff (3 sigma)
-    fwd_pair_factor: int = 16  # max fwd pairs = factor * num_tiles
-    bwd_pair_factor: int = 96  # max bwd pairs = factor * num_blocks
+    pair_factor: int = 24      # hit budget = min(T*nb, factor * num_tiles);
+                               # when the exact bound T*nb fits, truncation is
+                               # structurally impossible
     spatial_sort: bool = True  # sort gaussians by center tile each call
     interpret: Optional[bool] = None  # None => interpret iff not on TPU
 
@@ -89,12 +92,12 @@ def _weights(gp_blk, dx, dy, q_cut):
     return jnp.where(q <= q_cut, jnp.exp(-0.5 * q), 0.0)
 
 
-def _fwd_kernel(rows_ref, cols_ref, flags_ref, gp_ref, cm_ref, out_ref,
-                *, tiles_x, tile_px, q_cut):
+def _fwd_kernel(pairs_ref, gp_ref, cm_ref, _init_ref, out_ref,
+                *, tiles_x, tile_px, q_cut, col_bits):
     p = pl.program_id(0)
-    fl = flags_ref[p]
-    valid = (fl & 1) != 0
-    first = (fl & 2) != 0
+    word = pairs_ref[p]
+    valid = (word & 1) != 0
+    first = (word & 2) != 0
     P = tile_px * tile_px
 
     @pl.when(first)
@@ -103,20 +106,22 @@ def _fwd_kernel(rows_ref, cols_ref, flags_ref, gp_ref, cm_ref, out_ref,
 
     @pl.when(valid)
     def _():
-        dx, dy = _pixel_deltas(gp_ref[:], rows_ref[p], tiles_x, tile_px, P)
+        t = unpack_row(word, col_bits)
+        dx, dy = _pixel_deltas(gp_ref[:], t, tiles_x, tile_px, P)
         w = _weights(gp_ref[:], dx, dy, q_cut)  # [B, P]
         contrib = jax.lax.dot_general(
             cm_ref[:], w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [C, P]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [C, P]
         out_ref[0] = out_ref[0] + contrib
 
 
-def _bwd_kernel(rows_ref, cols_ref, flags_ref, gp_ref, cm_ref, g_ref,
-                dgp_ref, dcm_ref, *, tiles_x, tile_px, q_cut):
+def _bwd_kernel(pairs_ref, gp_ref, cm_ref, g_ref, _init1_ref, _init2_ref,
+                dgp_ref, dcm_ref, *, tiles_x, tile_px, q_cut, col_bits):
     p = pl.program_id(0)
-    fl = flags_ref[p]
-    valid = (fl & 1) != 0
-    first = (fl & 2) != 0
+    word = pairs_ref[p]
+    valid = (word & 1) != 0
+    first = (word & 2) != 0
     P = tile_px * tile_px
 
     @pl.when(first)
@@ -127,14 +132,16 @@ def _bwd_kernel(rows_ref, cols_ref, flags_ref, gp_ref, cm_ref, g_ref,
     @pl.when(valid)
     def _():
         gp = gp_ref[:]
-        dx, dy = _pixel_deltas(gp, cols_ref[p], tiles_x, tile_px, P)
+        t = unpack_col(word, col_bits)
+        dx, dy = _pixel_deltas(gp, t, tiles_x, tile_px, P)
         w = _weights(gp, dx, dy, q_cut)  # [B, P]
         G = g_ref[0]  # [C, P]
 
         # d out[c,p] / d w[b,p] = cm[c,b]  =>  dL/dw = cm^T G
         dw = jax.lax.dot_general(
             cm_ref[:], G, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [B, P]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [B, P]
         dq = -0.5 * w * dw
 
         a = gp[:, 2:3]
@@ -152,7 +159,8 @@ def _bwd_kernel(rows_ref, cols_ref, flags_ref, gp_ref, cm_ref, g_ref,
         dgp_ref[:] = dgp_ref[:] + dgp_blk
         # dL/dcm[c,b] = sum_p G[c,p] w[b,p]
         dcm_ref[:] = dcm_ref[:] + jax.lax.dot_general(
-            G, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            G, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
@@ -160,52 +168,66 @@ def _bwd_kernel(rows_ref, cols_ref, flags_ref, gp_ref, cm_ref, g_ref,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_pallas(static, gp, cm, rows, cols, flags):
-    tile_px, block_g, q_cut, T, tiles_x, interpret = static
+def _fwd_pallas(static, gp, cm, pairs):
+    tile_px, block_g, q_cut, T, tiles_x, col_bits, _bwd_bits, interpret = static
     P = tile_px * tile_px
-    n_pairs = rows.shape[0]
+    n_pairs = pairs.shape[0]
     kern = functools.partial(_fwd_kernel, tiles_x=tiles_x, tile_px=tile_px,
-                             q_cut=q_cut)
+                             q_cut=q_cut, col_bits=col_bits)
+    row = lambda v: v >> (2 + col_bits)
+    col = lambda v: (v >> 2) & ((1 << col_bits) - 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(n_pairs,),
         in_specs=[
-            pl.BlockSpec((block_g, 8), lambda p, r, c, f: (c[p], 0)),
-            pl.BlockSpec((_C, block_g), lambda p, r, c, f: (0, c[p])),
+            pl.BlockSpec((block_g, 8), lambda p, pr: (col(pr[p]), 0)),
+            pl.BlockSpec((_C, block_g), lambda p, pr: (0, col(pr[p]))),
+            # zero buffer aliased to the output so tiles whose pairs were
+            # truncated read as 0, never as garbage memory; constant index
+            # map => staged once, not per step
+            pl.BlockSpec((1, _C, P), lambda p, pr: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, _C, P), lambda p, r, c, f: (r[p], 0, 0)),
+        out_specs=pl.BlockSpec((1, _C, P), lambda p, pr: (row(pr[p]), 0, 0)),
     )
+    zeros = jnp.zeros((T, _C, P), jnp.float32)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, _C, P), jnp.float32),
         interpret=interpret,
+        input_output_aliases={3: 0},  # counts scalar-prefetch args first
         cost_estimate=pl.CostEstimate(
             flops=n_pairs * block_g * P * 12,
             bytes_accessed=n_pairs * (block_g * 8 + _C * block_g + _C * P) * 4,
             transcendentals=n_pairs * block_g * P,
         ),
-    )(rows, cols, flags, gp, cm)
+    )(pairs, gp, cm, zeros)
 
 
-def _bwd_pallas(static, gp, cm, g, rows, cols, flags):
-    tile_px, block_g, q_cut, T, tiles_x, interpret = static
+def _bwd_pallas(static, gp, cm, g, pairs):
+    tile_px, block_g, q_cut, T, tiles_x, _fwd_bits, col_bits, interpret = static
     P = tile_px * tile_px
     Npad = gp.shape[0]
-    n_pairs = rows.shape[0]
+    n_pairs = pairs.shape[0]
     kern = functools.partial(_bwd_kernel, tiles_x=tiles_x, tile_px=tile_px,
-                             q_cut=q_cut)
+                             q_cut=q_cut, col_bits=col_bits)
+    # bwd pairs: row = gaussian block (output accumulate), col = tile
+    row = lambda v: v >> (2 + col_bits)
+    col = lambda v: (v >> 2) & ((1 << col_bits) - 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(n_pairs,),
         in_specs=[
-            pl.BlockSpec((block_g, 8), lambda p, r, c, f: (r[p], 0)),
-            pl.BlockSpec((_C, block_g), lambda p, r, c, f: (0, r[p])),
-            pl.BlockSpec((1, _C, P), lambda p, r, c, f: (c[p], 0, 0)),
+            pl.BlockSpec((block_g, 8), lambda p, pr: (row(pr[p]), 0)),
+            pl.BlockSpec((_C, block_g), lambda p, pr: (0, row(pr[p]))),
+            pl.BlockSpec((1, _C, P), lambda p, pr: (col(pr[p]), 0, 0)),
+            # zero buffers aliased to the two grad outputs (see _fwd_pallas)
+            pl.BlockSpec((block_g, 8), lambda p, pr: (0, 0)),
+            pl.BlockSpec((_C, block_g), lambda p, pr: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((block_g, 8), lambda p, r, c, f: (r[p], 0)),
-            pl.BlockSpec((_C, block_g), lambda p, r, c, f: (0, r[p])),
+            pl.BlockSpec((block_g, 8), lambda p, pr: (row(pr[p]), 0)),
+            pl.BlockSpec((_C, block_g), lambda p, pr: (0, row(pr[p]))),
         ],
     )
     return pl.pallas_call(
@@ -216,29 +238,31 @@ def _bwd_pallas(static, gp, cm, g, rows, cols, flags):
             jax.ShapeDtypeStruct((_C, Npad), jnp.float32),
         ],
         interpret=interpret,
+        input_output_aliases={4: 0, 5: 1},  # counts scalar-prefetch args first
         cost_estimate=pl.CostEstimate(
             flops=n_pairs * block_g * P * 24,
             bytes_accessed=n_pairs * (block_g * 8 * 2 + _C * block_g * 2 + _C * P) * 4,
             transcendentals=n_pairs * block_g * P,
         ),
-    )(rows, cols, flags, gp, cm, g)
+    )(pairs, gp, cm, g, jnp.zeros((Npad, 8), jnp.float32),
+      jnp.zeros((_C, Npad), jnp.float32))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _rasterize_core(static, gp, cm, fr, fc, ff, br, bc, bf):
-    return _fwd_pallas(static, gp, cm, fr, fc, ff)
+def _rasterize_core(static, gp, cm, fwd_pairs, bwd_pairs):
+    return _fwd_pallas(static, gp, cm, fwd_pairs)
 
 
-def _core_fwd(static, gp, cm, fr, fc, ff, br, bc, bf):
-    out = _fwd_pallas(static, gp, cm, fr, fc, ff)
-    return out, (gp, cm, br, bc, bf)
+def _core_fwd(static, gp, cm, fwd_pairs, bwd_pairs):
+    out = _fwd_pallas(static, gp, cm, fwd_pairs)
+    return out, (gp, cm, bwd_pairs)
 
 
 def _core_bwd(static, res, g):
-    gp, cm, br, bc, bf = res
-    dgp, dcm = _bwd_pallas(static, gp, cm, g, br, bc, bf)
+    gp, cm, bwd_pairs = res
+    dgp, dcm = _bwd_pallas(static, gp, cm, g, bwd_pairs)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return (dgp, dcm, f0(br), f0(bc), f0(bf), f0(br), f0(bc), f0(bf))
+    return (dgp, dcm, f0(bwd_pairs), f0(bwd_pairs))
 
 
 _rasterize_core.defvjp(_core_fwd, _core_bwd)
@@ -323,14 +347,18 @@ def rasterize_gaussians_sum(
     hit = block_hit_matrix(xys_pad, radii_pad, valid, tiles_x, tiles_y, tp, B)
 
     nb = Npad // B
-    max_fwd = min(T * (nb + 1), T * cfg.fwd_pair_factor)
-    max_bwd = min(nb * (T + 1), nb * cfg.bwd_pair_factor)
+    # one hit budget for both directions: fwd and bwd lists enumerate the SAME
+    # hit set, so sizing them together means they drop together or never. When
+    # the exact bound T*nb is affordable, dropping is impossible.
+    budget = min(T * nb, T * cfg.pair_factor)
+    max_fwd = budget + T    # + per-tile dummies
+    max_bwd = budget + nb   # + per-block dummies
     pf = build_pairs(hit, max_fwd)
     pb = build_pairs(hit.T, max_bwd)
 
-    static = (tp, B, float(cfg.q_cut), T, tiles_x, _use_interpret(cfg))
-    out_tiled = _rasterize_core(static, gp, cm, pf.row, pf.col, pf.flags,
-                                pb.row, pb.col, pb.flags)  # [T, 8, P]
+    static = (tp, B, float(cfg.q_cut), T, tiles_x, pf.col_bits, pb.col_bits,
+              _use_interpret(cfg))
+    out_tiled = _rasterize_core(static, gp, cm, pf.packed, pb.packed)
 
     img_full = (out_tiled
                 .reshape(tiles_y, tiles_x, _C, tp, tp)

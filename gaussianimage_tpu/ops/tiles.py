@@ -28,40 +28,70 @@ import jax.numpy as jnp
 class PairList(NamedTuple):
     """Flattened (row, col) work pairs derived from a hit matrix.
 
-    row/col: int32 [max_pairs]; rows are non-decreasing. ``flags`` bit0 =
-    pair is valid (compute + accumulate), bit1 = first pair of its row
-    (initialize the output block). Rows with no hits get one invalid
-    "dummy" pair so their output block is still zero-initialized.
-    n_dropped counts pairs that did not fit in max_pairs (monitoring).
+    ``packed``: int32 [max_pairs], one word per pair — scalar-prefetch memory
+    (SMEM) is ~1 MB, so row/col/flags share a word:
+        bits [0,2)              flags: bit0 = valid, bit1 = first-of-row
+        bits [2, 2+col_bits)    col
+        bits [2+col_bits, 32)   row (non-decreasing across pairs)
+    Rows with no hits get one invalid "dummy" pair so their output block is
+    still zero-initialized. n_dropped counts pairs that did not fit in
+    max_pairs (monitoring). ``col_bits`` is a static int.
     """
 
-    row: jnp.ndarray
-    col: jnp.ndarray
-    flags: jnp.ndarray
+    packed: jnp.ndarray
+    col_bits: int
     n_dropped: jnp.ndarray
 
 
 def build_pairs(hit: jnp.ndarray, max_pairs: int) -> PairList:
     """hit: bool [R, C]. Returns row-major pair list of the nonzero entries,
     augmented with a dummy pair for all-zero rows, padded/truncated to
-    ``max_pairs``."""
+    ``max_pairs``.
+
+    Sort-free: pair positions come from an exclusive prefix count (row offsets
+    via cumsum + within-row cumsum) and one deterministic scatter — O(R*C)
+    elementwise work instead of an argsort over R*C keys. Runs every train
+    step, so this is on the hot path.
+    """
     R, C = hit.shape
-    counts = hit.sum(axis=1)
+    col_bits = max(int(C).bit_length(), 1)
+    assert (R - 1) < (1 << (30 - col_bits)), "pair packing overflow"
+    hit = hit.astype(jnp.int32)
+    counts = hit.sum(axis=1)  # [R]
     # virtual dummy column C for empty rows
-    hit_aug = jnp.concatenate([hit, (counts == 0)[:, None]], axis=1)  # [R, C+1]
-    flat = hit_aug.reshape(-1)
-    total = flat.sum()
-    # stable sort moves nonzero entries to the front in row-major order
-    order = jnp.argsort(jnp.logical_not(flat), stable=True)[:max_pairs]
-    in_range = jnp.arange(max_pairs) < total
-    row = jnp.where(in_range, order // (C + 1), R - 1).astype(jnp.int32)
-    col_raw = (order % (C + 1)).astype(jnp.int32)
-    valid = in_range & (col_raw < C)
-    col = jnp.where(valid, col_raw, 0).astype(jnp.int32)
-    first = jnp.concatenate([jnp.ones((1,), bool), row[1:] != row[:-1]]) & in_range
-    flags = (valid.astype(jnp.int32) + 2 * first.astype(jnp.int32))
+    hit_aug = jnp.concatenate([hit, (counts == 0)[:, None].astype(jnp.int32)],
+                              axis=1)  # [R, C+1]
+    counts_aug = jnp.maximum(counts, 1)
+    row_off = jnp.cumsum(counts_aug) - counts_aug  # exclusive [R]
+    within = jnp.cumsum(hit_aug, axis=1) - hit_aug  # exclusive [R, C+1]
+    pos = row_off[:, None] + within  # [R, C+1] target slot of each pair
+    total = row_off[-1] + counts_aug[-1]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, C + 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, C + 1), 1)
+    valid = (cols < C).astype(jnp.int32)  # dummy pairs: compute-skipped
+    first = (within == 0).astype(jnp.int32)
+    word = (rows << (2 + col_bits)) | (jnp.where(cols < C, cols, 0) << 2) \
+        | valid | (2 * first)
+
+    is_pair = hit_aug > 0
+    pos = jnp.where(is_pair & (pos < max_pairs), pos, max_pairs)
+    # filler word: last row, invalid, not-first => kernels skip it and the
+    # output-block revisit stays on the final written block
+    filler = jnp.int32((R - 1) << (2 + col_bits))
+    packed = jnp.full((max_pairs + 1,), filler, jnp.int32)
+    packed = packed.at[pos.reshape(-1)].set(word.reshape(-1),
+                                            mode="drop")[:max_pairs]
     n_dropped = jnp.maximum(total - max_pairs, 0).astype(jnp.int32)
-    return PairList(row, col, flags, n_dropped)
+    return PairList(packed, col_bits, n_dropped)
+
+
+def unpack_row(packed, col_bits: int):
+    return packed >> (2 + col_bits)
+
+
+def unpack_col(packed, col_bits: int):
+    return (packed >> 2) & ((1 << col_bits) - 1)
 
 
 def gaussian_tile_bboxes(

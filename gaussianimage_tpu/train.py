@@ -1,0 +1,240 @@
+"""Representation fitting trainer + CLI — the TPU counterpart of the
+reference's train.py (SimpleTrainer2d / main, train.py:23-403).
+
+Differences by design:
+ - the 50k-iteration hot loop runs as jitted on-device scan *chunks*
+   (models/base.py train_chunk), syncing metrics to host once per chunk
+   instead of once per iteration;
+ - artifacts keep the reference schema: per-image log dir with train.txt,
+   gaussian_model checkpoint, and training.npy with identical keys
+   (train.py:250-253) so downstream plotting ports over;
+ - FPS probe: 100 forwards, wall clock / 100 (train.py:242-249).
+
+Run:  python -m gaussianimage_tpu.train -d <dir> --data_name kodak \
+        --model_name GaussianImage_Cholesky --num_points 10000 \
+        --iterations 50000
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianimage_tpu.datasets import iterate_dataset
+from gaussianimage_tpu.models import make_model
+from gaussianimage_tpu.utils import LogWriter, ms_ssim
+from gaussianimage_tpu.utils.checkpoint import (
+    load_checkpoint,
+    merge_matching,
+    save_checkpoint,
+)
+from gaussianimage_tpu.utils.image_io import save_image_array
+
+
+class SimpleTrainer2d:
+    """Fits one image with 2D Gaussians."""
+
+    def __init__(self, gt_image: np.ndarray, image_name: str,
+                 num_points: int = 2000,
+                 model_name: str = "GaussianImage_Cholesky",
+                 iterations: int = 30000, model_path=None, args=None,
+                 log_dir: Path | None = None, chunk_size: int = 250):
+        self.gt_image = jnp.asarray(gt_image, jnp.float32)  # [1,3,H,W]
+        self.image_name = image_name
+        self.num_points = num_points
+        self.iterations = iterations
+        self.chunk_size = min(chunk_size, iterations) if iterations else chunk_size
+        self.H, self.W = int(gt_image.shape[2]), int(gt_image.shape[3])
+        self.save_imgs = bool(getattr(args, "save_imgs", False))
+        self.model_name = model_name
+
+        mask_cfg = None
+        if model_name == "GaussianImage_Cholesky_wMask":
+            from gaussianimage_tpu.models.base import MaskConfig
+            kw = {f: getattr(args, f)
+                  for f in ("start_mask_training", "stop_mask_training",
+                            "reg_type", "target_sparsity", "lambda_reg",
+                            "init_mask_logit", "use_ema", "use_score",
+                            "temp_init", "temp_final")
+                  if hasattr(args, f)}
+            mask_cfg = MaskConfig(**kw)
+        loss_type = "Fusion2" if model_name == "3DGS" else "L2"
+        self.model = make_model(
+            model_name,
+            num_points=num_points, H=self.H, W=self.W,
+            loss_type=loss_type,
+            lr=getattr(args, "lr", 1e-3),
+            opt_type=getattr(args, "opt_type", "adan"),
+            no_clamp=bool(getattr(args, "no_clamp", False)),
+            sh_degree=getattr(args, "sh_degree", 3),
+            quantize=False,
+            mask=mask_cfg,
+        )
+
+        self.log_dir = Path(log_dir) if log_dir is not None else Path(
+            f"./checkpoints/run/{model_name}_{iterations}_{num_points}/{image_name}")
+        self.logwriter = LogWriter(self.log_dir)
+
+        seed = int(getattr(args, "seed", 1) or 1)
+        self.key = jax.random.PRNGKey(seed)
+        self.state = self.model.init_state(self.key)
+
+        if model_path is not None:
+            self.logwriter.write(f"loading model path:{model_path}")
+            ckpt = load_checkpoint(model_path)
+            params = merge_matching(self.state.params, ckpt["params"])
+            self.state = self.state._replace(params=params)
+
+        self._chunk_fn = jax.jit(
+            lambda st, gt, key, start: self.model.train_chunk(
+                st, gt, key, start, self.chunk_size),
+            donate_argnums=(0,))
+        # eval renders use a huge iteration so phase-scheduled models (wMask)
+        # take their deterministic branch
+        self._render_fn = jax.jit(
+            lambda params: self.model.render(
+                params, iteration=jnp.asarray(1 << 30))["render"])
+
+    def train(self):
+        psnr_list, iter_list, loss_list = [], [], []
+        start_time = time.time()
+        it = 0
+        key = self.key
+        while it < self.iterations:
+            key, sub = jax.random.split(key)
+            self.state, losses, psnrs = self._chunk_fn(
+                self.state, self.gt_image, sub, jnp.asarray(it + 1))
+            losses = np.asarray(losses)
+            psnrs = np.asarray(psnrs)
+            n = min(self.chunk_size, self.iterations - it)
+            loss_list.extend(losses[:n].tolist())
+            psnr_list.extend(psnrs[:n].tolist())
+            iter_list.extend(range(it + 1, it + n + 1))
+            it += n
+            if it % 5000 < self.chunk_size:
+                self.logwriter.write(
+                    f"iter {it}: loss {losses[n-1]:.7f} psnr {psnrs[n-1]:.4f}")
+        end_time = time.time() - start_time
+
+        if hasattr(self.model, "prune_points"):
+            self.state = self.model.prune_points(self.state, threshold=0.5)
+
+        psnr_value, ms_ssim_value, num_points_final = self.test()
+
+        # FPS probe (reference methodology, train.py:242-249)
+        img = self._render_fn(self.state.params)
+        img.block_until_ready()
+        t0 = time.time()
+        for _ in range(100):
+            img = self._render_fn(self.state.params)
+        img.block_until_ready()
+        test_end_time = (time.time() - t0) / 100
+
+        self.logwriter.write(
+            "Training Complete in {:.4f}s, Eval time:{:.8f}s, FPS:{:.4f}".format(
+                end_time, test_end_time, 1 / test_end_time))
+        save_checkpoint(self.log_dir / "gaussian_model.npz",
+                        self.state.params, self.state.extra)
+        np.save(self.log_dir / "training.npy",
+                {"iterations": iter_list, "training_psnr": psnr_list,
+                 "training_time": end_time, "psnr": psnr_value,
+                 "ms-ssim": ms_ssim_value, "rendering_time": test_end_time,
+                 "rendering_fps": 1 / test_end_time,
+                 "initial_points": self.num_points,
+                 "final_points": num_points_final})
+        return (psnr_value, ms_ssim_value, end_time, test_end_time,
+                1 / test_end_time)
+
+    def test(self):
+        out = self._render_fn(self.state.params)
+        mse = float(jnp.mean((out.astype(jnp.float32)
+                              - self.gt_image.astype(jnp.float32)) ** 2))
+        psnr = 10 * math.log10(1.0 / max(mse, 1e-12))
+        # MS-SSIM needs >= 161px per side (5 scales x 11-tap window);
+        # fall back to single-scale SSIM on smaller test images
+        if min(self.H, self.W) >= 161:
+            msv = float(ms_ssim(out, self.gt_image, data_range=1.0))
+        else:
+            from gaussianimage_tpu.utils import ssim
+            msv = float(ssim(out, self.gt_image, data_range=1.0))
+        num_points_final = int(self.state.params["_xyz"].shape[0])
+        self.logwriter.write(
+            "Test PSNR:{:.4f}, MS_SSIM:{:.6f}, Final_points:{:d}".format(
+                psnr, msv, num_points_final))
+        if self.save_imgs:
+            save_image_array(np.asarray(out),
+                             self.log_dir / f"{self.image_name}_fitting.png")
+        return psnr, msv, num_points_final
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="GaussianImage-TPU fitting")
+    p.add_argument("-d", "--dataset", type=str, default="./datasets/kodak/")
+    p.add_argument("--data_name", type=str, default="kodak")
+    p.add_argument("--iterations", type=int, default=50000)
+    p.add_argument("--model_name", type=str, default="GaussianImage_Cholesky")
+    p.add_argument("--sh_degree", type=int, default=3)
+    p.add_argument("--num_points", type=int, default=50000)
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--save_imgs", action="store_true")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--opt_type", type=str, default="adan")
+    p.add_argument("--chunk_size", type=int, default=250,
+                   help="train iterations per on-device scan chunk")
+    p.add_argument("--checkpoint_root", type=str, default="./checkpoints")
+    # wMask options (reference train.py:310-326)
+    p.add_argument("--start_mask_training", type=int, default=0)
+    p.add_argument("--stop_mask_training", type=int, default=50000)
+    p.add_argument("--reg_type", type=str, default="kl")
+    p.add_argument("--target_sparsity", type=float, default=0.7)
+    p.add_argument("--lambda_reg", type=float, default=0.005)
+    p.add_argument("--init_mask_logit", type=float, default=2.0)
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--use_score", action="store_true")
+    p.add_argument("--no_clamp", action="store_true")
+    p.add_argument("--temp_init", type=float, default=0.5)
+    p.add_argument("--temp_final", type=float, default=0.5)
+    return p.parse_args(argv)
+
+
+def main(argv):
+    args = parse_args(argv)
+    folder = f"{args.model_name}_{args.iterations}_{args.num_points}"
+    root = Path(args.checkpoint_root) / args.data_name / folder
+    logwriter = LogWriter(root)
+
+    stats = []
+    image_h = image_w = 0
+    count = 0
+    for image_name, img in iterate_dataset(args.data_name, args.dataset):
+        trainer = SimpleTrainer2d(
+            img, image_name, num_points=args.num_points,
+            iterations=args.iterations, model_name=args.model_name,
+            model_path=args.model_path, args=args,
+            log_dir=root / image_name, chunk_size=args.chunk_size)
+        psnr, msv, ttime, etime, fps = trainer.train()
+        stats.append((psnr, msv, ttime, etime, fps))
+        image_h += trainer.H
+        image_w += trainer.W
+        count += 1
+        logwriter.write(
+            "{}: {}x{}, PSNR:{:.4f}, MS-SSIM:{:.4f}, Training:{:.4f}s, "
+            "Eval:{:.8f}s, FPS:{:.4f}".format(
+                image_name, trainer.H, trainer.W, psnr, msv, ttime, etime, fps))
+    arr = np.asarray(stats)
+    logwriter.write(
+        "Average: {}x{}, PSNR:{:.4f}, MS-SSIM:{:.4f}, Training:{:.4f}s, "
+        "Eval:{:.8f}s, FPS:{:.4f}".format(
+            image_h // count, image_w // count, *arr.mean(axis=0)))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

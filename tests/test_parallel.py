@@ -1,0 +1,81 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh:
+sharded render == single-device render; sharded train step == single-device
+train step (allclose); scaling smoke across (data, gauss, tile) axes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianimage_tpu.models import make_model
+from gaussianimage_tpu.ops import RasterizeConfig
+from gaussianimage_tpu.parallel import (
+    init_sharded_fit,
+    make_mesh,
+    make_sharded_train_step,
+    mesh_axes_for,
+)
+from gaussianimage_tpu.utils.image_io import synthetic_image
+
+RASTER = RasterizeConfig(pair_factor=64)
+
+
+def _setup(D, H=32, W=48, N=256):
+    model = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                       raster=RASTER)
+    images = np.concatenate(
+        [synthetic_image(H, W, seed=i) for i in range(D)], axis=0)  # [D,3,H,W]
+    return model, jnp.asarray(images)
+
+
+def test_mesh_axes_factoring():
+    assert mesh_axes_for(8) == {"data": 2, "gauss": 2, "tile": 2}
+    assert mesh_axes_for(1) == {"data": 1, "gauss": 1, "tile": 1}
+    assert mesh_axes_for(4) == {"data": 1, "gauss": 2, "tile": 2}
+
+
+def test_sharded_step_matches_single_device():
+    # mesh (data=2, gauss=2, tile=2) vs an unsharded reference step
+    model, images = _setup(D=2)
+    mesh = make_mesh({"data": 2, "gauss": 2, "tile": 2})
+    params, opt_state, gt = init_sharded_fit(model, mesh, images, seed=3)
+    step = make_sharded_train_step(model, mesh, n_steps=3)(
+        params, opt_state, gt)
+    p2, o2, loss, psnr = step(params, opt_state, gt, jnp.asarray(1))
+    assert loss.shape == (2,) and psnr.shape == (2,)
+
+    # single-device reference: same init, 3 manual steps per image
+    import optax
+    from gaussianimage_tpu.utils.losses import loss_fn as lf
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    opt = model._optimizer()
+    for d in range(2):
+        p = model.init_params(keys[d])
+        o = opt.init(p)
+        for i in range(3):
+            def loss_f(pp):
+                out = model.render(pp)["render"]
+                return jnp.mean((out[0] - images[d]) ** 2)
+            l, g = jax.value_and_grad(loss_f)(p)
+            up, o = opt.update(g, o, p)
+            p = optax.apply_updates(p, up)
+        for k in p:
+            got = np.asarray(p2[k])[d]
+            ref = np.asarray(p[k])
+            np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5,
+                                       err_msg=f"img{d} {k}")
+        np.testing.assert_allclose(np.asarray(loss)[d], float(l), rtol=1e-4)
+
+
+def test_sharded_fit_improves_psnr():
+    model, images = _setup(D=1, H=32, W=32, N=128)
+    mesh = make_mesh({"data": 1, "gauss": 4, "tile": 2})
+    params, opt_state, gt = init_sharded_fit(model, mesh, images)
+    step = make_sharded_train_step(model, mesh, n_steps=50)(
+        params, opt_state, gt)
+    _, _, _, psnr0 = step(params, opt_state, gt, jnp.asarray(1))
+    psnr0 = np.asarray(psnr0)
+    params, opt_state, gt = init_sharded_fit(model, mesh, images)
+    for it in range(4):
+        params, opt_state, loss, psnr = step(params, opt_state, gt,
+                                             jnp.asarray(1 + 50 * it))
+    assert np.asarray(psnr)[0] > psnr0[0] + 3.0
