@@ -40,6 +40,9 @@ def compress_categorical(values: np.ndarray
                                         return_counts=True)
     unique = unique.astype(minimal_int_dtype(int(unique.min()),
                                              int(unique.max())))
+    # store the histogram in the smallest dtype: it is bitstream side info
+    # (the reference ships np.unique's int64 counts — 8 bytes per symbol)
+    counts = counts.astype(minimal_int_dtype(0, int(counts.max())))
     if len(unique) == 1:
         return np.zeros(0, np.uint16), counts, unique
     freqs = rans.quantize_freqs(counts)

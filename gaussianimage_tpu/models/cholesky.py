@@ -20,12 +20,13 @@ import jax.numpy as jnp
 
 from gaussianimage_tpu.core import project_gaussians_2d
 from gaussianimage_tpu.models.base import GaussianModelBase, ModelConfig
+from gaussianimage_tpu.models.quantize_mixin import QuantizeMixin
 from gaussianimage_tpu.ops import rasterize_gaussians_sum
 
 CHOLESKY_BOUND = jnp.asarray([0.5, 0.0, 0.5], jnp.float32)
 
 
-class GaussianImageCholesky(GaussianModelBase):
+class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
     name = "GaussianImage_Cholesky"
 
     def init_params(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
@@ -41,11 +42,28 @@ class GaussianImageCholesky(GaussianModelBase):
             u = jax.random.uniform(k1, (N, 2), minval=-(1 - 1e-6),
                                    maxval=1 - 1e-6)
             xyz = jnp.arctanh(u)
-        return {
+        params = {
             "_xyz": xyz.astype(jnp.float32),
             "_cholesky": jax.random.uniform(k2, (N, 3)).astype(jnp.float32),
             "_features_dc": jax.random.uniform(k3, (N, 3)).astype(jnp.float32),
         }
+        if cfg.quantize:
+            params.update(self.quantize_param_init())
+        return params
+
+    # quantization hooks (QuantizeMixin)
+    def _uq_channels(self):
+        return {"cholesky": 3}
+
+    def _uq_raw_values(self, params):
+        return {"cholesky": params["_cholesky"]}
+
+    def _rasterize_quantized(self, params, means, geo, colors):
+        chol = geo["cholesky"] + CHOLESKY_BOUND
+        N = means.shape[0]
+        img, alpha, aux, _, _ = self._rasterize(
+            means, chol, colors, jnp.ones((N, 1), jnp.float32))
+        return img, alpha, aux
 
     # activations ----------------------------------------------------------
     @staticmethod

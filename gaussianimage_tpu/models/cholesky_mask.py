@@ -63,9 +63,10 @@ class GaussianImageCholeskyMask(GaussianImageCholesky):
         return params
 
     def init_extra(self, params):
+        extra = dict(super().init_extra(params))
         if self.mask_cfg.use_ema:
-            return {"mask_ema": jax.nn.sigmoid(params["_mask_logits"])}
-        return {}
+            extra["mask_ema"] = jax.nn.sigmoid(params["_mask_logits"])
+        return extra
 
     # -- schedule ------------------------------------------------------------
     def phase(self, iteration):

@@ -18,11 +18,12 @@ import jax.numpy as jnp
 
 from gaussianimage_tpu.core import project_gaussians_2d_scale_rot
 from gaussianimage_tpu.models.base import GaussianModelBase
+from gaussianimage_tpu.models.quantize_mixin import QuantizeMixin
 
 SCALING_BOUND = jnp.asarray([0.5, 0.5], jnp.float32)
 
 
-class GaussianImageRS(GaussianModelBase):
+class GaussianImageRS(QuantizeMixin, GaussianModelBase):
     name = "GaussianImage_RS"
 
     def init_params(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
@@ -30,12 +31,38 @@ class GaussianImageRS(GaussianModelBase):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         N = cfg.num_points
         u = jax.random.uniform(k1, (N, 2), minval=-(1 - 1e-6), maxval=1 - 1e-6)
-        return {
+        params = {
             "_xyz": jnp.arctanh(u).astype(jnp.float32),
             "_scaling": jax.random.uniform(k2, (N, 2)).astype(jnp.float32),
             "_rotation": jax.random.uniform(k3, (N, 1)).astype(jnp.float32),
             "_features_dc": jax.random.uniform(k4, (N, 3)).astype(jnp.float32),
         }
+        if cfg.quantize:
+            params.update(self.quantize_param_init())
+        return params
+
+    # quantization hooks (QuantizeMixin). Note the reference quantizes raw
+    # _scaling but the *activated* rotation (gaussianimage_rs.py:50-52,100-102)
+    def _uq_channels(self):
+        return {"scaling": 2, "rotation": 1}
+
+    def _uq_raw_values(self, params):
+        return {"scaling": params["_scaling"],
+                "rotation": self.get_rotation(params)}
+
+    def _rasterize_quantized(self, params, means, geo, colors):
+        from gaussianimage_tpu.ops import rasterize_gaussians_sum
+
+        cfg = self.cfg
+        scaling = jnp.abs(geo["scaling"] + SCALING_BOUND)
+        rotation = geo["rotation"]
+        xys, _, radii, conics, _ = project_gaussians_2d_scale_rot(
+            means, scaling, rotation, cfg.H, cfg.W, cfg.tile_bounds)
+        N = means.shape[0]
+        img, alpha, aux = rasterize_gaussians_sum(
+            xys, conics, colors, jnp.ones((N, 1), jnp.float32), cfg.H, cfg.W,
+            radii=radii, config=cfg.raster)
+        return img, alpha, aux
 
     @staticmethod
     def get_xyz(params):

@@ -1,160 +1,86 @@
-"""Tile-intersection machinery for the block-sparse Pallas rasterizer.
+"""Per-Gaussian tile binning for the rasterizers.
 
-The CUDA reference bins *individual* Gaussians into tiles with a radix sort and
-per-tile ranges (gsplat's map_gaussian_to_intersects / get_tile_bin_edges,
-SURVEY.md N3 [inferred]). On TPU we avoid duplication and sorting entirely:
-Gaussians are grouped into fixed blocks of ``block_g``; a small boolean hit
-matrix [num_tiles, num_blocks] marks which blocks can touch which image tiles
-(bbox overlap at block granularity). From it we build two flattened work-pair
-lists with static length:
-
-- forward pairs sorted by tile  -> each image tile accumulates its hit blocks
-  in consecutive grid steps (Pallas output revisiting, zero atomics);
-- backward pairs sorted by block -> each Gaussian block accumulates its
-  parameter gradients over the tiles it touches, likewise race-free.
-
-Because blending is a commutative sum, any order is exact; determinism is by
-construction. Everything here is plain jnp and runs fused in XLA each step.
+The CUDA reference bins gaussian instances into tiles with
+map_gaussian_to_intersects + radix sort + get_tile_bin_edges (SURVEY.md N3,
+[inferred]). The TPU-native equivalent is sort-free: a scan over Gaussian
+chunks builds fixed-capacity per-tile index tables [num_tiles, K] with a
+bounded [num_tiles, chunk] hit matrix per step and a per-tile running count,
+all fused XLA. Within a tile, stored indices preserve the input order (pass
+depth-sorted indices for the alpha-blend rasterizer; any order for the
+commutative sum rasterizer).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 
-class PairList(NamedTuple):
-    """Flattened (row, col) work pairs derived from a hit matrix.
-
-    ``packed``: int32 [max_pairs], one word per pair — scalar-prefetch memory
-    (SMEM) is ~1 MB, so row/col/flags share a word:
-        bits [0,2)              flags: bit0 = valid, bit1 = first-of-row
-        bits [2, 2+col_bits)    col
-        bits [2+col_bits, 32)   row (non-decreasing across pairs)
-    Rows with no hits get one invalid "dummy" pair so their output block is
-    still zero-initialized. n_dropped counts pairs that did not fit in
-    max_pairs (monitoring). ``col_bits`` is a static int.
-    """
-
-    packed: jnp.ndarray
-    col_bits: int
-    n_dropped: jnp.ndarray
+class TileBins(NamedTuple):
+    index: jnp.ndarray     # [T, K] int32 gaussian ids, -1 = empty slot
+    counts: jnp.ndarray    # [T] int32 (clamped to K)
+    n_dropped: jnp.ndarray  # [] int32 overflow count (monitoring)
 
 
-def build_pairs(hit: jnp.ndarray, max_pairs: int) -> PairList:
-    """hit: bool [R, C]. Returns row-major pair list of the nonzero entries,
-    augmented with a dummy pair for all-zero rows, padded/truncated to
-    ``max_pairs``.
-
-    Sort-free: pair positions come from an exclusive prefix count (row offsets
-    via cumsum + within-row cumsum) and one deterministic scatter — O(R*C)
-    elementwise work instead of an argsort over R*C keys. Runs every train
-    step, so this is on the hot path.
-    """
-    R, C = hit.shape
-    col_bits = max(int(C).bit_length(), 1)
-    assert (R - 1) < (1 << (30 - col_bits)), "pair packing overflow"
-    hit = hit.astype(jnp.int32)
-    counts = hit.sum(axis=1)  # [R]
-    # virtual dummy column C for empty rows
-    hit_aug = jnp.concatenate([hit, (counts == 0)[:, None].astype(jnp.int32)],
-                              axis=1)  # [R, C+1]
-    counts_aug = jnp.maximum(counts, 1)
-    row_off = jnp.cumsum(counts_aug) - counts_aug  # exclusive [R]
-    within = jnp.cumsum(hit_aug, axis=1) - hit_aug  # exclusive [R, C+1]
-    pos = row_off[:, None] + within  # [R, C+1] target slot of each pair
-    total = row_off[-1] + counts_aug[-1]
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (R, C + 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (R, C + 1), 1)
-    valid = (cols < C).astype(jnp.int32)  # dummy pairs: compute-skipped
-    first = (within == 0).astype(jnp.int32)
-    word = (rows << (2 + col_bits)) | (jnp.where(cols < C, cols, 0) << 2) \
-        | valid | (2 * first)
-
-    is_pair = hit_aug > 0
-    pos = jnp.where(is_pair & (pos < max_pairs), pos, max_pairs)
-    # filler word: last row, invalid, not-first => kernels skip it and the
-    # output-block revisit stays on the final written block
-    filler = jnp.int32((R - 1) << (2 + col_bits))
-    packed = jnp.full((max_pairs + 1,), filler, jnp.int32)
-    packed = packed.at[pos.reshape(-1)].set(word.reshape(-1),
-                                            mode="drop")[:max_pairs]
-    n_dropped = jnp.maximum(total - max_pairs, 0).astype(jnp.int32)
-    return PairList(packed, col_bits, n_dropped)
-
-
-def unpack_row(packed, col_bits: int):
-    return packed >> (2 + col_bits)
-
-
-def unpack_col(packed, col_bits: int):
-    return (packed >> 2) & ((1 << col_bits) - 1)
-
-
-def gaussian_tile_bboxes(
+def bin_gaussians_per_tile(
     xys: jnp.ndarray,
     radii: jnp.ndarray,
     tiles_x: int,
     tiles_y: int,
     tile_px: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-Gaussian inclusive tile-coordinate bbox (x0, x1, y0, y1) + on-image
-    mask. Off-image Gaussians get an empty bbox."""
-    r = radii.astype(jnp.float32)
-    x0 = jnp.floor((xys[:, 0] - r) / tile_px).astype(jnp.int32)
-    x1 = jnp.floor((xys[:, 0] + r) / tile_px).astype(jnp.int32)
-    y0 = jnp.floor((xys[:, 1] - r) / tile_px).astype(jnp.int32)
-    y1 = jnp.floor((xys[:, 1] + r) / tile_px).astype(jnp.int32)
-    on = (x1 >= 0) & (x0 <= tiles_x - 1) & (y1 >= 0) & (y0 <= tiles_y - 1) & (r > 0)
-    x0 = jnp.clip(x0, 0, tiles_x - 1)
-    x1 = jnp.clip(x1, 0, tiles_x - 1)
-    y0 = jnp.clip(y0, 0, tiles_y - 1)
-    y1 = jnp.clip(y1, 0, tiles_y - 1)
-    return x0, x1, y0, y1, on
-
-
-def block_hit_matrix(
-    xys: jnp.ndarray,
-    radii: jnp.ndarray,
-    valid: jnp.ndarray,
-    tiles_x: int,
-    tiles_y: int,
-    tile_px: int,
-    block_g: int,
-) -> jnp.ndarray:
-    """Bool hit matrix [tiles_y * tiles_x, N // block_g].
-
-    A block hits a tile if the union bbox of its valid member Gaussians
-    overlaps the tile. N must already be padded to a multiple of block_g;
-    padded entries are masked out via ``valid``.
-    """
+    max_per_tile: int,
+    order: Optional[jnp.ndarray] = None,
+    gauss_chunk: int = 1024,
+) -> TileBins:
+    """xys [N,2] px, radii [N] (0 = cull). ``order`` optionally remaps the
+    processing order (e.g. depth sort). Non-differentiable (int outputs)."""
+    T = tiles_x * tiles_y
+    K = max_per_tile
     N = xys.shape[0]
-    nb = N // block_g
-    x0, x1, y0, y1, on = gaussian_tile_bboxes(xys, radii, tiles_x, tiles_y, tile_px)
-    ok = on & valid
-    big = jnp.int32(1 << 30)
-    x0 = jnp.where(ok, x0, big).reshape(nb, block_g).min(axis=1)
-    y0 = jnp.where(ok, y0, big).reshape(nb, block_g).min(axis=1)
-    x1 = jnp.where(ok, x1, -big).reshape(nb, block_g).max(axis=1)
-    y1 = jnp.where(ok, y1, -big).reshape(nb, block_g).max(axis=1)
+    C = min(gauss_chunk, max(N, 1))
+    if order is None:
+        order = jnp.arange(N, dtype=jnp.int32)
+    pad = (-N) % C
+    idx = jnp.concatenate([order.astype(jnp.int32),
+                           jnp.full((pad,), -1, jnp.int32)]) if pad else order
+    xs = xys[order]
+    rs = radii[order]
+    if pad:
+        xs = jnp.concatenate([xs, jnp.zeros((pad, 2), xys.dtype)])
+        rs = jnp.concatenate([rs, jnp.zeros((pad,), radii.dtype)])
+    n_chunks = (N + pad) // C
 
-    t = jnp.arange(tiles_y * tiles_x, dtype=jnp.int32)
-    tx = (t % tiles_x)[:, None]
-    ty = (t // tiles_x)[:, None]
-    return (tx >= x0[None]) & (tx <= x1[None]) & (ty >= y0[None]) & (ty <= y1[None])
+    tile_t = jnp.arange(T, dtype=jnp.int32)
+    tx = (tile_t % tiles_x)[:, None]
+    ty = (tile_t // tiles_x)[:, None]
 
+    def body(carry, args):
+        table, counts = carry
+        cxy, cr, cidx = args
+        x0 = jnp.floor((cxy[:, 0] - cr) / tile_px)
+        x1 = jnp.floor((cxy[:, 0] + cr) / tile_px)
+        y0 = jnp.floor((cxy[:, 1] - cr) / tile_px)
+        y1 = jnp.floor((cxy[:, 1] + cr) / tile_px)
+        ok = (cidx >= 0) & (cr > 0)
+        hit = (ok[None, :] & (tx >= x0[None]) & (tx <= x1[None])
+               & (ty >= y0[None]) & (ty <= y1[None])).astype(jnp.int32)
+        within = jnp.cumsum(hit, axis=1) - hit
+        pos = counts[:, None] + within
+        dest = jnp.where((hit > 0) & (pos < K), tile_t[:, None] * K + pos,
+                         T * K)
+        flat = jnp.concatenate([table.reshape(-1),
+                                jnp.zeros((1,), table.dtype)])
+        flat = flat.at[dest.reshape(-1)].set(
+            jnp.broadcast_to(cidx[None, :], dest.shape).reshape(-1),
+            mode="drop")
+        return (flat[:-1].reshape(T, K), counts + hit.sum(axis=1)), None
 
-def spatial_sort_order(
-    xys: jnp.ndarray, valid: jnp.ndarray, tiles_x: int, tiles_y: int, tile_px: int
-) -> jnp.ndarray:
-    """Permutation sorting Gaussians by the row-major tile id of their center,
-    invalid/padded entries last. Grouping nearby Gaussians into the same block
-    tightens block bboxes and cuts (tile, block) pairs by ~an order of
-    magnitude — the TPU analog of the CUDA tile binning pass."""
-    cx = jnp.clip((xys[:, 0] / tile_px).astype(jnp.int32), 0, tiles_x - 1)
-    cy = jnp.clip((xys[:, 1] / tile_px).astype(jnp.int32), 0, tiles_y - 1)
-    key = jnp.where(valid, cy * tiles_x + cx, jnp.int32(tiles_x * tiles_y))
-    return jnp.argsort(key, stable=True)
+    table0 = jnp.full((T, K), -1, jnp.int32)
+    (table, counts), _ = jax.lax.scan(
+        body, (table0, jnp.zeros((T,), jnp.int32)),
+        (xs.reshape(n_chunks, C, 2), rs.reshape(n_chunks, C),
+         idx.reshape(n_chunks, C)))
+    n_dropped = jnp.maximum(counts - K, 0).sum().astype(jnp.int32)
+    return TileBins(table, jnp.minimum(counts, K), n_dropped)

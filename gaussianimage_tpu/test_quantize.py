@@ -1,0 +1,140 @@
+"""Codec evaluation CLI — counterpart of the reference's test_quantize.py
+(the "~2000 FPS decode" claim path): loads the best QAT checkpoint, compresses
+once, times 100 decodes, reports PSNR / MS-SSIM / bpp breakdown, writes
+test.npy + test.txt (reference test_quantize.py:66-90).
+
+Run:  python -m gaussianimage_tpu.test_quantize -d <dir> --data_name kodak \
+        --model_path <QAT checkpoint root> --num_points 10000
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianimage_tpu.datasets import iterate_dataset
+from gaussianimage_tpu.models import make_model
+from gaussianimage_tpu.utils import LogWriter, ms_ssim, ssim
+from gaussianimage_tpu.utils.checkpoint import load_checkpoint, merge_matching
+
+
+class CodecEvaluator2d:
+    def __init__(self, gt_image, image_name, num_points=2000,
+                 model_name="GaussianImage_Cholesky", model_path=None,
+                 args=None, log_dir=None):
+        self.gt_image = jnp.asarray(gt_image, jnp.float32)
+        self.image_name = image_name
+        self.H, self.W = int(gt_image.shape[2]), int(gt_image.shape[3])
+        self.model = make_model(
+            model_name, num_points=num_points, H=self.H, W=self.W,
+            loss_type="L2", quantize=True)
+        self.log_dir = Path(log_dir) if log_dir is not None else Path("./eval")
+        self.logwriter = LogWriter(self.log_dir, train=False)
+        self.state = self.model.init_state(jax.random.PRNGKey(1))
+        if model_path is not None:
+            self.logwriter.write(f"loading model path:{model_path}")
+            ckpt = load_checkpoint(model_path)
+            params = merge_matching(self.state.params, ckpt["params"])
+            extra = dict(self.state.extra)
+            if any(k.startswith("vq/") for k in ckpt["extra"]):
+                vq = extra["vq"]._replace(**{
+                    k.split("/", 1)[1]: jnp.asarray(v)
+                    for k, v in ckpt["extra"].items() if k.startswith("vq/")})
+                extra["vq"] = vq
+            self.state = self.state._replace(params=params, extra=extra)
+
+    def test(self):
+        params, extra = self.state.params, self.state.extra
+        enc = self.model.compress_wo_ec(params, extra)
+
+        decode = jax.jit(lambda e: self.model.decompress_wo_ec(
+            params, extra, e)["render"])
+        enc_dev = {k: jnp.asarray(v) for k, v in enc.items()}
+        out = decode(enc_dev)
+        out.block_until_ready()
+        t0 = time.time()
+        for _ in range(100):
+            out = decode(enc_dev)
+        out.block_until_ready()
+        end_time = (time.time() - t0) / 100
+
+        data = self.model.analysis_wo_ec(params, extra, enc)
+        # also run the full entropy-coded path for real-bitstream bpp +
+        # a round-trip check (reference leaves this unwired; we report both)
+        enc_ec = self.model.compress(params, extra)
+        data_ec = self.model.analysis(params, extra, enc_ec)
+        out_ec = self.model.decompress(params, extra, enc_ec)["render"]
+        rt_err = float(jnp.abs(out_ec - out).max())
+
+        mse = float(jnp.mean((out - self.gt_image) ** 2))
+        psnr = 10 * math.log10(1.0 / max(mse, 1e-12))
+        metric = ms_ssim if min(self.H, self.W) >= 161 else ssim
+        msv = float(metric(out, self.gt_image, data_range=1.0))
+        data.update({"psnr": psnr, "ms-ssim": msv, "rendering_time": end_time,
+                     "rendering_fps": 1 / end_time,
+                     "bpp_ec": data_ec["bpp"], "ec_roundtrip_err": rt_err})
+        np.save(self.log_dir / "test.npy", data)
+        self.logwriter.write("Eval time:{:.8f}s, FPS:{:.4f}".format(
+            end_time, 1 / end_time))
+        self.logwriter.write("PSNR:{:.4f}, MS_SSIM:{:.6f}, bpp:{:.4f}".format(
+            psnr, msv, data["bpp"]))
+        self.logwriter.write(
+            "position_bpp:{:.4f}, cholesky_bpp:{:.4f}, feature_dc_bpp:{:.4f}, "
+            "entropy-coded bpp:{:.4f}".format(
+                data["position_bpp"], data["cholesky_bpp"],
+                data["feature_dc_bpp"], data["bpp_ec"]))
+        return data
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="GaussianImage-TPU codec eval")
+    p.add_argument("-d", "--dataset", type=str, default="./dataset/kodak/")
+    p.add_argument("--data_name", type=str, default="kodak")
+    p.add_argument("--model_name", type=str, default="GaussianImage_Cholesky")
+    p.add_argument("--num_points", type=int, default=50000)
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--save_imgs", action="store_true")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--checkpoint_root", type=str, default="./checkpoints_quant")
+    p.add_argument("--iterations", type=int, default=50000)
+    return p.parse_args(argv)
+
+
+def main(argv):
+    args = parse_args(argv)
+    folder = f"{args.model_name}_{args.iterations}_{args.num_points}"
+    root = Path(args.checkpoint_root) / args.data_name / folder
+    logwriter = LogWriter(root, train=False)
+    rows = []
+    for image_name, img in iterate_dataset(args.data_name, args.dataset):
+        model_path = (Path(args.model_path) / image_name /
+                      "gaussian_model.best.npz" if args.model_path else None)
+        ev = CodecEvaluator2d(img, image_name, num_points=args.num_points,
+                              model_name=args.model_name,
+                              model_path=model_path, args=args,
+                              log_dir=root / image_name)
+        d = ev.test()
+        rows.append([d["psnr"], d["ms-ssim"], d["bpp"], d["rendering_fps"],
+                     d["position_bpp"], d["cholesky_bpp"],
+                     d["feature_dc_bpp"]])
+        logwriter.write(
+            "{}: {}x{}, PSNR:{:.4f}, MS-SSIM:{:.4f}, bpp:{:.4f}, FPS:{:.4f}, "
+            "position_bpp:{:.4f}, cholesky_bpp:{:.4f}, feature_dc_bpp:{:.4f}".format(
+                image_name, ev.H, ev.W, *rows[-1]))
+    arr = np.asarray(rows)
+    logwriter.write(
+        "Average: PSNR:{:.4f}, MS-SSIM:{:.4f}, bpp:{:.4f}, FPS:{:.4f}, "
+        "position_bpp:{:.4f}, cholesky_bpp:{:.4f}, feature_dc_bpp:{:.4f}".format(
+            *arr.mean(axis=0)))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,208 @@
+"""Quantization-aware training CLI — counterpart of the reference's
+train_quantize.py: loads a stage-1 representation checkpoint, initializes the
+uniform-quantizer ranges from the loaded weights, trains 50k QAT iterations
+(fp16 xyz + 6-bit covariance + residual-VQ colors), tracks the best-PSNR
+state on device, and writes last + best checkpoints plus training.npy with
+bpp (reference train_quantize.py:40-97).
+
+Run:  python -m gaussianimage_tpu.train_quantize -d <dir> --data_name kodak \
+        --model_path <stage1 checkpoint root> --num_points 10000
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianimage_tpu.datasets import dataset_image_name, iterate_dataset
+from gaussianimage_tpu.models import make_model
+from gaussianimage_tpu.utils import LogWriter, ms_ssim, ssim
+from gaussianimage_tpu.utils.checkpoint import (
+    load_checkpoint,
+    merge_matching,
+    save_checkpoint,
+)
+from gaussianimage_tpu.utils.image_io import save_image_array
+
+
+class QuantizeTrainer2d:
+    def __init__(self, gt_image, image_name, num_points=2000,
+                 model_name="GaussianImage_Cholesky", iterations=30000,
+                 model_path=None, args=None, log_dir=None, chunk_size=100):
+        self.gt_image = jnp.asarray(gt_image, jnp.float32)
+        self.image_name = image_name
+        self.num_points = num_points
+        self.iterations = iterations
+        self.chunk_size = min(chunk_size, iterations) if iterations else chunk_size
+        self.H, self.W = int(gt_image.shape[2]), int(gt_image.shape[3])
+        self.save_imgs = bool(getattr(args, "save_imgs", False))
+
+        self.model = make_model(
+            model_name, num_points=num_points, H=self.H, W=self.W,
+            loss_type="L2", lr=getattr(args, "lr", 1e-3),
+            opt_type=getattr(args, "opt_type", "adan"), quantize=True)
+
+        self.log_dir = Path(log_dir) if log_dir is not None else Path(
+            f"./checkpoints_quant/run/{model_name}_{iterations}_{num_points}/{image_name}")
+        self.logwriter = LogWriter(self.log_dir)
+        self.key = jax.random.PRNGKey(int(getattr(args, "seed", 1) or 1))
+        self.state = self.model.init_state(self.key)
+
+        if model_path is not None:
+            self.logwriter.write(f"loading model path:{model_path}")
+            ckpt = load_checkpoint(model_path)
+            params = merge_matching(self.state.params, ckpt["params"])
+            self.state = self.state._replace(params=params)
+            # two-stage warm start: quantizer range init from loaded weights
+            self.state = self.model.init_quantizer_data(self.state)
+
+        def chunk(state, best, gt, key, start):
+            def body(carry, i):
+                st, (bp, bpar) = carry
+                k = jax.random.fold_in(key, i)
+                st, m = self.model.train_step(st, gt, key=k,
+                                              iteration=start + i)
+                better = m["psnr"] > bp
+                bpar = jax.tree.map(
+                    lambda new, old: jnp.where(better, new, old),
+                    st.params, bpar)
+                bp = jnp.where(better, m["psnr"], bp)
+                return (st, (bp, bpar)), (m["loss"], m["psnr"])
+
+            (state, best), (losses, psnrs) = jax.lax.scan(
+                body, (state, best), jnp.arange(self.chunk_size))
+            return state, best, losses, psnrs
+
+        self._chunk_fn = jax.jit(chunk, donate_argnums=(0, 1))
+        self._eval_fn = jax.jit(
+            lambda params, extra: self.model.render_quantize(
+                params, extra=extra, training=False)["render"])
+
+    def train(self):
+        psnr_list, iter_list = [], []
+        # copy: best shares no buffers with state (both args are donated)
+        best = (jnp.float32(-1.0), jax.tree.map(jnp.copy, self.state.params))
+        start_time = time.time()
+        it = 0
+        key = self.key
+        while it < self.iterations:
+            key, sub = jax.random.split(key)
+            self.state, best, losses, psnrs = self._chunk_fn(
+                self.state, best, self.gt_image, sub, jnp.asarray(it + 1))
+            n = min(self.chunk_size, self.iterations - it)
+            psnr_list.extend(np.asarray(psnrs)[:n].tolist())
+            iter_list.extend(range(it + 1, it + n + 1))
+            it += n
+            if it % 5000 < self.chunk_size:
+                self.logwriter.write(
+                    f"iter {it}: psnr {float(np.asarray(psnrs)[n-1]):.4f} "
+                    f"best {float(best[0]):.4f}")
+        end_time = time.time() - start_time
+
+        psnr_value, ms_ssim_value, bpp = self.test()
+        save_checkpoint(self.log_dir / "gaussian_model.npz",
+                        self.state.params, self.state.extra)
+        best_state = self.state._replace(params=best[1])
+        self.state = best_state
+        best_psnr_value, best_ms_ssim_value, best_bpp = self.test(best=True)
+        save_checkpoint(self.log_dir / "gaussian_model.best.npz",
+                        best_state.params, best_state.extra)
+
+        img = self._eval_fn(self.state.params, self.state.extra)
+        img.block_until_ready()
+        t0 = time.time()
+        for _ in range(100):
+            img = self._eval_fn(self.state.params, self.state.extra)
+        img.block_until_ready()
+        test_end_time = (time.time() - t0) / 100
+
+        self.logwriter.write(
+            "Training Complete in {:.4f}s, Eval time:{:.8f}s, FPS:{:.4f}".format(
+                end_time, test_end_time, 1 / test_end_time))
+        np.save(self.log_dir / "training.npy",
+                {"iterations": iter_list, "training_psnr": psnr_list,
+                 "training_time": end_time, "psnr": psnr_value,
+                 "ms-ssim": ms_ssim_value, "rendering_time": test_end_time,
+                 "rendering_fps": 1 / test_end_time, "bpp": bpp,
+                 "best_psnr": best_psnr_value,
+                 "best_ms-ssim": best_ms_ssim_value, "best_bpp": best_bpp})
+        return (psnr_value, ms_ssim_value, end_time, test_end_time,
+                1 / test_end_time, bpp, best_psnr_value, best_ms_ssim_value,
+                best_bpp)
+
+    def test(self, best=False):
+        out = self._eval_fn(self.state.params, self.state.extra)
+        mse = float(jnp.mean((out - self.gt_image) ** 2))
+        psnr = 10 * math.log10(1.0 / max(mse, 1e-12))
+        metric = ms_ssim if min(self.H, self.W) >= 161 else ssim
+        msv = float(metric(out, self.gt_image, data_range=1.0))
+        m, s, r, c = self.model.measure_unit_bits(self.state.params,
+                                                  self.state.extra)
+        bpp = (m + s + r + c) / self.H / self.W
+        tag = "Best Test" if best else "Test"
+        self.logwriter.write("{} PSNR:{:.4f}, MS_SSIM:{:.6f}, bpp:{:.4f}".format(
+            tag, psnr, msv, bpp))
+        if self.save_imgs:
+            name = self.image_name + ("_codec_best.png" if best else "_codec.png")
+            save_image_array(np.asarray(out), self.log_dir / name)
+        return psnr, msv, bpp
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="GaussianImage-TPU QAT")
+    p.add_argument("-d", "--dataset", type=str, default="./dataset/kodak/")
+    p.add_argument("--data_name", type=str, default="kodak")
+    p.add_argument("--iterations", type=int, default=50000)
+    p.add_argument("--model_name", type=str, default="GaussianImage_Cholesky")
+    p.add_argument("--num_points", type=int, default=50000)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="stage-1 checkpoint root (per-image subdirs)")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--save_imgs", action="store_true")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--opt_type", type=str, default="adan")
+    p.add_argument("--chunk_size", type=int, default=100)
+    p.add_argument("--checkpoint_root", type=str, default="./checkpoints_quant")
+    return p.parse_args(argv)
+
+
+def main(argv):
+    args = parse_args(argv)
+    folder = f"{args.model_name}_{args.iterations}_{args.num_points}"
+    root = Path(args.checkpoint_root) / args.data_name / folder
+    logwriter = LogWriter(root)
+    rows = []
+    for image_name, img in iterate_dataset(args.data_name, args.dataset):
+        model_path = (Path(args.model_path) / image_name / "gaussian_model.npz"
+                      if args.model_path else None)
+        tr = QuantizeTrainer2d(
+            img, image_name, num_points=args.num_points,
+            iterations=args.iterations, model_name=args.model_name,
+            model_path=model_path, args=args, log_dir=root / image_name,
+            chunk_size=args.chunk_size)
+        res = tr.train()
+        rows.append(res)
+        logwriter.write(
+            "{}: {}x{}, PSNR:{:.4f}, MS-SSIM:{:.4f}, bpp:{:.4f}, Best PSNR:{:.4f}, "
+            "Best MS-SSIM:{:.4f}, Best bpp:{:.4f}, Training:{:.4f}s, "
+            "Eval:{:.8f}s, FPS:{:.4f}".format(
+                image_name, tr.H, tr.W, res[0], res[1], res[5], res[6],
+                res[7], res[8], res[2], res[3], res[4]))
+    arr = np.asarray(rows)
+    logwriter.write(
+        "Average: PSNR:{:.4f}, MS-SSIM:{:.4f}, Bpp:{:.4f}, Best PSNR:{:.4f}, "
+        "Best MS-SSIM:{:.4f}, Best bpp:{:.4f}, Training:{:.4f}s, FPS:{:.4f}".format(
+            arr[:, 0].mean(), arr[:, 1].mean(), arr[:, 5].mean(),
+            arr[:, 6].mean(), arr[:, 7].mean(), arr[:, 8].mean(),
+            arr[:, 2].mean(), arr[:, 4].mean()))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,9 @@
+#!/bin/bash
+# RS-parameterization sweep on Kodak.
+set -e
+data_path="${1:-./datasets/kodak}"
+for num_points in 12000 16000; do
+  python -m gaussianimage_tpu.train -d "$data_path" --data_name kodak \
+    --model_name GaussianImage_RS --num_points $num_points \
+    --iterations 50000 --lr 1e-3 --save_imgs
+done

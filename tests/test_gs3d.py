@@ -1,0 +1,140 @@
+"""3DGS baseline tests: SH values, projection sanity, blend rasterizer vs a
+naive NumPy compositor, end-to-end fit smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianimage_tpu.core.camera3d import project_gaussians, quat_to_rotmat
+from gaussianimage_tpu.core.sh import num_sh_bases, spherical_harmonics
+from gaussianimage_tpu.models import make_model
+from gaussianimage_tpu.ops.rasterize_blend import (
+    BlendConfig,
+    rasterize_gaussians_blend,
+)
+from gaussianimage_tpu.utils.image_io import synthetic_image
+
+
+def test_num_sh_bases():
+    assert [num_sh_bases(d) for d in range(5)] == [1, 4, 9, 16, 25]
+
+
+def test_sh_degree0_is_constant():
+    dirs = jnp.asarray(np.random.default_rng(0).standard_normal((8, 3)))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    coeffs = jnp.ones((8, 1, 3))
+    out = spherical_harmonics(0, dirs, coeffs)
+    np.testing.assert_allclose(np.asarray(out), 0.28209479177387814,
+                               rtol=1e-6)
+
+
+def test_sh_degree1_linearity():
+    # along +z, the z-band contributes +C1 * coeff
+    dirs = jnp.asarray([[0.0, 0.0, 1.0]])
+    coeffs = jnp.zeros((1, 4, 3)).at[0, 2, 0].set(1.0)
+    out = spherical_harmonics(1, dirs, coeffs)
+    assert abs(float(out[0, 0]) - 0.4886025119029199) < 1e-6
+
+
+def test_quat_to_rotmat_orthonormal():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((16, 4)).astype(np.float32))
+    R = np.asarray(quat_to_rotmat(q))
+    for i in range(16):
+        np.testing.assert_allclose(R[i] @ R[i].T, np.eye(3), atol=1e-5)
+        assert abs(np.linalg.det(R[i]) - 1.0) < 1e-5
+
+
+def test_projection_center_point():
+    # point at origin projects to image center, depth 8
+    H, W = 64, 64
+    viewmat = jnp.asarray([[1., 0, 0, 0], [0, 1., 0, 0],
+                           [0, 0, 1., 8.], [0, 0, 0, 1.]])
+    xys, depths, radii, conics, nth, _ = project_gaussians(
+        jnp.zeros((1, 3)), jnp.full((1, 3), 0.1), 1.0,
+        jnp.asarray([[1.0, 0, 0, 0]]), viewmat, viewmat,
+        32.0, 32.0, 32.0, 32.0, H, W, (4, 4, 1))
+    np.testing.assert_allclose(np.asarray(xys[0]), [32.0, 32.0], atol=1e-5)
+    assert abs(float(depths[0]) - 8.0) < 1e-6
+    assert float(radii[0]) > 0 and int(nth[0]) >= 1
+
+
+def _np_blend(xys, conics, colors, opac, depths, H, W, bg):
+    order = np.argsort(depths, kind="stable")
+    out = np.tile(bg, (H, W, 1)).astype(np.float64)
+    Tbuf = np.ones((H, W), np.float64)
+    acc = np.zeros((H, W, 3), np.float64)
+    ys, xs = np.mgrid[0:H, 0:W]
+    for i in order:
+        dx = xs - xys[i, 0]
+        dy = ys - xys[i, 1]
+        a, b, c = conics[i]
+        q = a * dx * dx + 2 * b * dx * dy + c * dy * dy
+        alpha = np.minimum(0.999, opac[i] * np.exp(-0.5 * np.maximum(q, 0)))
+        alpha = np.where(alpha < 1 / 255.0, 0.0, alpha)
+        acc += (Tbuf * alpha)[..., None] * colors[i]
+        Tbuf = Tbuf * (1 - alpha)
+    return acc + Tbuf[..., None] * bg, 1 - Tbuf
+
+
+def test_blend_matches_numpy():
+    rng = np.random.default_rng(2)
+    N, H, W = 40, 32, 32
+    xys = rng.uniform(0, 32, (N, 2)).astype(np.float32)
+    # isotropic conics of moderate size
+    inv_s2 = rng.uniform(0.05, 0.5, N).astype(np.float32)
+    conics = np.stack([inv_s2, np.zeros(N, np.float32), inv_s2], -1)
+    colors = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.9, N).astype(np.float32)
+    depths = rng.uniform(1, 10, N).astype(np.float32)
+    radii = np.full(N, 20.0, np.float32)
+    bg = np.asarray([1.0, 1.0, 1.0], np.float32)
+
+    img, alpha, aux = rasterize_gaussians_blend(
+        jnp.asarray(xys), jnp.asarray(depths), jnp.asarray(radii),
+        jnp.asarray(conics), jnp.asarray(colors), jnp.asarray(opac),
+        H, W, background=jnp.asarray(bg),
+        config=BlendConfig(max_per_tile=64, tile_chunk=2))
+    assert int(aux["n_dropped"]) == 0
+    ref_img, ref_alpha = _np_blend(xys, conics, colors, opac, depths, H, W, bg)
+    np.testing.assert_allclose(np.asarray(img), ref_img, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(alpha), ref_alpha, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_blend_differentiable():
+    rng = np.random.default_rng(3)
+    N, H, W = 20, 16, 16
+    xys = jnp.asarray(rng.uniform(0, 16, (N, 2)).astype(np.float32))
+    conics = jnp.asarray(
+        np.stack([np.full(N, 0.2), np.zeros(N), np.full(N, 0.2)], -1)
+        .astype(np.float32))
+    colors = jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, (N,)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(1, 10, N).astype(np.float32))
+    radii = jnp.full((N,), 10.0)
+
+    def loss(args):
+        xys, colors, opac = args
+        img, _, _ = rasterize_gaussians_blend(
+            xys, depths, radii, conics, colors, opac, H, W,
+            config=BlendConfig(max_per_tile=32, tile_chunk=1))
+        return jnp.mean(img ** 2)
+
+    g = jax.grad(loss)((xys, colors, opac))
+    for arr in g:
+        assert bool(jnp.isfinite(arr).all())
+    assert float(jnp.abs(g[1]).max()) > 0
+
+
+def test_gs3d_fit_smoke():
+    model = make_model("3DGS", num_points=256, H=32, W=32, loss_type="Fusion2",
+                       sh_degree=1)
+    gt = jnp.asarray(synthetic_image(32, 32, seed=0))
+    state = model.init_state(jax.random.PRNGKey(0))
+    pkg = model.render(state.params)
+    assert pkg["render"].shape == (1, 3, 32, 32)
+    state, losses, psnrs = model.train_chunk(state, gt, None, jnp.asarray(1), 40)
+    p = np.asarray(psnrs)
+    assert np.isfinite(p).all()
+    assert p[-1] > p[0]

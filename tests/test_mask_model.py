@@ -11,7 +11,7 @@ from gaussianimage_tpu.models.cholesky_mask import gumbel_sigmoid
 from gaussianimage_tpu.ops import RasterizeConfig
 from gaussianimage_tpu.utils.image_io import synthetic_image
 
-RASTER = RasterizeConfig(pair_factor=64)
+RASTER = RasterizeConfig()
 
 
 def _model(**mask_kw):

@@ -16,7 +16,7 @@ from gaussianimage_tpu.parallel import (
 )
 from gaussianimage_tpu.utils.image_io import synthetic_image
 
-RASTER = RasterizeConfig(pair_factor=64)
+RASTER = RasterizeConfig()
 
 
 def _setup(D, H=32, W=48, N=256):

@@ -1,6 +1,7 @@
-"""Pallas sum-rasterizer vs the dense oracle: forward parity (exact, same
-q-cutoff), gradient parity vs jax.grad of the oracle, opacity gradients,
-jit-compatibility. Runs in interpret mode on the CPU harness."""
+"""Pallas sum-rasterizer vs the dense oracle: forward parity (same q-cutoff;
+the kernel evaluates the quadratic form as a tile-local f32 matmul, so
+tolerance is ~1e-3 relative), gradient parity vs jax.grad of the oracle,
+opacity gradients, jit-compatibility. Interpret mode on the CPU harness."""
 
 import jax
 import jax.numpy as jnp
@@ -10,7 +11,7 @@ import pytest
 from gaussianimage_tpu.core import project_gaussians_2d, render_sum_dense
 from gaussianimage_tpu.ops import RasterizeConfig, rasterize_gaussians_sum
 
-CFG = RasterizeConfig(block_g=128, pair_factor=64)
+CFG = RasterizeConfig()
 
 
 def _scene(N, H, W, seed=0):
@@ -33,11 +34,11 @@ def test_forward_matches_cutoff_oracle(N, H, W):
     assert int(aux["n_dropped_bwd"]) == 0
     ref = render_sum_dense(xys, conics, colors, opac, H, W, q_cut=CFG.q_cut)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=2e-3, atol=2e-4)
     ref_alpha = render_sum_dense(xys, conics, jnp.ones_like(colors[:, :1]),
                                  opac, H, W, q_cut=CFG.q_cut)[..., 0]
     np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref_alpha),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=2e-3, atol=2e-4)
 
 
 def test_gradients_match_oracle():
@@ -63,7 +64,7 @@ def test_gradients_match_oracle():
     args = (xys, conics, colors, opac)
     lk = float(loss_kernel(args))
     lo = float(loss_oracle(args))
-    assert abs(lk - lo) < 1e-5 * max(1.0, abs(lo))
+    assert abs(lk - lo) < 1e-3 * max(1.0, abs(lo))
 
     gk = jax.grad(loss_kernel)(args)
     go = jax.grad(loss_oracle)(args)
@@ -71,11 +72,11 @@ def test_gradients_match_oracle():
     for name, a, b in zip(names, gk, go):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-8
-        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5 * scale,
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-3 * scale,
                                    err_msg=name)
 
 
-def test_jit_and_sort_invariance():
+def test_jit_and_config_invariance():
     N, H, W = 100, 32, 48
     xys, radii, conics, colors, opac = _scene(N, H, W, seed=3)
 
@@ -86,11 +87,12 @@ def test_jit_and_sort_invariance():
         return img
 
     img = render(xys, conics, colors, opac)
-    cfg_nosort = CFG._replace(spatial_sort=False)
+    # different tiling configs must produce the same image
+    cfg2 = CFG._replace(tile_px=32, tiles_per_step=2, max_per_tile=256)
     img2, _, _ = rasterize_gaussians_sum(xys, conics, colors, opac, H, W,
-                                         radii=radii, config=cfg_nosort)
+                                         radii=radii, config=cfg2)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img2),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=2e-3, atol=2e-4)
 
 
 def test_nonmultiple_image_size():
@@ -102,16 +104,17 @@ def test_nonmultiple_image_size():
     assert img.shape == (H, W, 3)
     ref = render_sum_dense(xys, conics, colors, opac, H, W, q_cut=CFG.q_cut)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=2e-3, atol=2e-4)
 
 
-def test_truncation_never_produces_garbage():
-    # Force pair-list truncation (pair_factor=1 < num blocks): outputs and
-    # gradients must stay finite (zero-aliased buffers), and the drop must be
-    # reported. Regression for the uninitialized-memory NaN found on TPU.
-    N, H, W = 512, 32, 48  # nb = 4 blocks, wide spread
+def test_capacity_overflow_never_produces_garbage():
+    # Force per-tile capacity overflow (max_per_tile tiny): outputs and
+    # gradients must stay finite (overflow slots are zero-filled), and the
+    # drop must be reported. Regression for the uninitialized-memory NaN
+    # found on TPU with the earlier design.
+    N, H, W = 512, 32, 48
     xys, radii, conics, colors, opac = _scene(N, H, W, seed=9)
-    cfg = CFG._replace(pair_factor=1)
+    cfg = CFG._replace(max_per_tile=8)
 
     def loss(args):
         xys, colors = args
@@ -120,16 +123,16 @@ def test_truncation_never_produces_garbage():
         return jnp.mean(img ** 2) + jnp.mean(alpha), aux
 
     (l, aux), g = jax.value_and_grad(loss, has_aux=True)((xys, colors))
-    assert int(aux["n_dropped_fwd"]) > 0
+    assert int(aux["n_dropped"]) > 0
     assert np.isfinite(float(l))
     for arr in g:
         assert bool(jnp.isfinite(arr).all())
-    # default factor: bound T*nb is affordable here -> structurally no drops
+    # ample capacity: no drops (512 gaussians over only 6 tiles is far above
+    # the default 192/tile density, so use a 512 cap here)
     _, _, aux2 = rasterize_gaussians_sum(
         xys, conics, colors, opac, H, W, radii=radii,
-        config=CFG._replace(pair_factor=24))
-    assert int(aux2["n_dropped_fwd"]) == 0
-    assert int(aux2["n_dropped_bwd"]) == 0
+        config=CFG._replace(max_per_tile=512))
+    assert int(aux2["n_dropped"]) == 0
 
 
 def test_offscreen_gaussians_ignored():
@@ -142,4 +145,4 @@ def test_offscreen_gaussians_ignored():
                                         radii=radii, config=CFG)
     ref = render_sum_dense(xys2, conics, colors, opac, H, W, q_cut=CFG.q_cut)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=2e-3, atol=2e-4)
