@@ -2,8 +2,13 @@
 10k Gaussians, GaussianImage-Cholesky — the reference's headline setting,
 BASELINE.md: 1500-2000 FPS on a V100). Prints ONE JSON line.
 
-Also fits the image briefly first so the measured scene has realistic
-Gaussian statistics (spread + scales affect tile occupancy, hence FPS).
+Fits the image briefly first so the measured scene has realistic Gaussian
+statistics (spread + scales affect tile occupancy, hence FPS).
+
+ORDER MATTERS on the axon TPU runtime: every device->host readback
+permanently degrades dispatch from pipelined (~0.02 ms/call) to synchronous
+(~1 ms/call), so ALL timing loops run before the FIRST metric readback
+(see docs/TPU_NOTES.md).
 """
 
 import json
@@ -26,26 +31,37 @@ def main():
     gt = jnp.asarray(synthetic_image(H, W, seed=0))
     state = model.init_state(jax.random.PRNGKey(1))
 
-    # short fit so the measured scene is realistic (spread fitted Gaussians)
+    # short fit so the measured scene is realistic (spread fitted gaussians);
+    # psnrs stay ON DEVICE until after the timing loops
     chunk = jax.jit(
         lambda st, g, s: model.train_chunk(st, g, None, s, 500),
         donate_argnums=(0,))
     it = 0
+    psnrs = None
     for _ in range(4):
         state, losses, psnrs = chunk(state, gt, jnp.asarray(it + 1))
         it += 500
-    psnr_fit = float(np.asarray(psnrs)[-1])
+    jax.block_until_ready(state.params)
 
     render = jax.jit(lambda p: model.render(p)["render"])
     img = render(state.params)
     img.block_until_ready()
     t0 = time.time()
-    reps = 200
+    reps = 500
     for _ in range(reps):
         img = render(state.params)
     img.block_until_ready()
     dt = (time.time() - t0) / reps
     fps = 1.0 / dt
+
+    # training-step throughput (chunked scan, the production fit path)
+    t0 = time.time()
+    state, losses, psnrs = chunk(state, gt, jnp.asarray(it + 1))
+    jax.block_until_ready(losses)
+    fit_iters_per_s = 500 / (time.time() - t0)
+
+    # ---- timing done; readbacks are safe now -------------------------------
+    psnr_fit = float(np.asarray(psnrs)[-1])
 
     baseline_fps = 2000.0  # reference README headline (V100)
     print(json.dumps({
@@ -55,6 +71,7 @@ def main():
         "vs_baseline": round(fps / baseline_fps, 3),
         "extra": {"fit_psnr_at_2k_iters": round(psnr_fit, 2),
                   "ms_per_frame": round(dt * 1e3, 3),
+                  "fit_iters_per_s": round(fit_iters_per_s, 1),
                   "backend": jax.default_backend()},
     }))
 

@@ -17,13 +17,16 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gaussianimage_tpu.core import project_gaussians_2d
 from gaussianimage_tpu.models.base import GaussianModelBase, ModelConfig
 from gaussianimage_tpu.models.quantize_mixin import QuantizeMixin
 from gaussianimage_tpu.ops import rasterize_gaussians_sum
 
-CHOLESKY_BOUND = jnp.asarray([0.5, 0.0, 0.5], jnp.float32)
+# numpy, NOT jnp: a module-level device array captured by jit permanently
+# degrades the axon PJRT runtime to synchronous per-call dispatch (~40x)
+CHOLESKY_BOUND = np.asarray([0.5, 0.0, 0.5], np.float32)
 
 
 class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):

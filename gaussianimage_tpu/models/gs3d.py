@@ -18,6 +18,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gaussianimage_tpu.core.camera3d import project_gaussians
 from gaussianimage_tpu.core.sh import num_sh_bases, spherical_harmonics
@@ -59,9 +60,10 @@ class Gaussian3D(GaussianModelBase):
     def __init__(self, config):
         super().__init__(config)
         self.focal = 0.5 * float(config.W) / math.tan(0.5 * math.pi / 2.0)
-        self.viewmat = jnp.asarray(
-            [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 8.0], [0, 0, 0, 1.0]])
-        self.translation = jnp.asarray([[0.0, 0.0, -8.0]])
+        self.viewmat = np.asarray(  # numpy, not jnp (axon capture rule)
+            [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 8.0], [0, 0, 0, 1.0]],
+            np.float32)
+        self.translation = np.asarray([[0.0, 0.0, -8.0]], np.float32)
         self.blend_cfg = BlendConfig()
 
     def init_params(self, key: jax.Array) -> Dict[str, jnp.ndarray]:

@@ -15,12 +15,13 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gaussianimage_tpu.core import project_gaussians_2d_scale_rot
 from gaussianimage_tpu.models.base import GaussianModelBase
 from gaussianimage_tpu.models.quantize_mixin import QuantizeMixin
 
-SCALING_BOUND = jnp.asarray([0.5, 0.5], jnp.float32)
+SCALING_BOUND = np.asarray([0.5, 0.5], np.float32)  # numpy, not jnp (axon capture rule)
 
 
 class GaussianImageRS(QuantizeMixin, GaussianModelBase):
