@@ -5,10 +5,15 @@ BASELINE.md: 1500-2000 FPS on a V100). Prints ONE JSON line.
 Fits the image briefly first so the measured scene has realistic Gaussian
 statistics (spread + scales affect tile occupancy, hence FPS).
 
-ORDER MATTERS on the axon TPU runtime: every device->host readback
-permanently degrades dispatch from pipelined (~0.02 ms/call) to synchronous
-(~1 ms/call), so ALL timing loops run before the FIRST metric readback
-(see docs/TPU_NOTES.md).
+Timing methodology for the axon TPU runtime (see memory/verify notes):
+- `block_until_ready` returns before the remote queue drains, so a plain
+  dispatch loop measures enqueue rate (absurdly fast). The honest recipe is
+  to enqueue N iterations and force ONE device->host readback of the last
+  result: the in-order queue must drain, so wall time = N * device time.
+- That first readback permanently degrades dispatch to sync mode, so it is
+  also the fence between measurements: everything timed afterwards
+  (training chunk) pays a fixed ~0.5 ms/call dispatch cost that a 500-step
+  on-device scan amortizes away.
 """
 
 import json
@@ -32,7 +37,7 @@ def main():
     state = model.init_state(jax.random.PRNGKey(1))
 
     # short fit so the measured scene is realistic (spread fitted gaussians);
-    # psnrs stay ON DEVICE until after the timing loops
+    # NO readbacks yet — results stay on device
     chunk = jax.jit(
         lambda st, g, s: model.train_chunk(st, g, None, s, 500),
         donate_argnums=(0,))
@@ -46,21 +51,31 @@ def main():
     render = jax.jit(lambda p: model.render(p)["render"])
     img = render(state.params)
     img.block_until_ready()
+    # switch the runtime to synchronous dispatch NOW (first readback does
+    # it irreversibly); afterwards every call's wall time is its true
+    # latency. Enqueue-then-drain of a deep queue triggers a ~130 ms/call
+    # journal replay on this runtime, so a plain sync loop is the honest
+    # and cheapest methodology.
+    _ = np.asarray(img)
+
+    reps = 200
+    img = render(state.params)
+    img.block_until_ready()
     t0 = time.time()
-    reps = 500
     for _ in range(reps):
         img = render(state.params)
     img.block_until_ready()
     dt = (time.time() - t0) / reps
     fps = 1.0 / dt
 
-    # training-step throughput (chunked scan, the production fit path)
-    t0 = time.time()
+    # training throughput: one dispatch per 500-step on-device scan
     state, losses, psnrs = chunk(state, gt, jnp.asarray(it + 1))
-    jax.block_until_ready(losses)
+    _ = np.asarray(losses[-1])
+    t0 = time.time()
+    state, losses, psnrs = chunk(state, gt, jnp.asarray(it + 501))
+    _ = np.asarray(losses[-1])
     fit_iters_per_s = 500 / (time.time() - t0)
 
-    # ---- timing done; readbacks are safe now -------------------------------
     psnr_fit = float(np.asarray(psnrs)[-1])
 
     baseline_fps = 2000.0  # reference README headline (V100)

@@ -3,42 +3,44 @@
 gaussianimage_cholesky.py:81-82) as Pallas TPU forward + backward kernels with
 analytic gradients, wired through ``jax.custom_vjp``.
 
-TPU-first design (v3, packed-gather + whole-op custom VJP):
+TPU-first design (v4, instance-stream kernel — the CUDA pipeline's shape,
+re-derived for a sequential-grid vector machine):
 
-- XLA builds per-tile gaussian index lists (ops/tiles.py: instance expansion,
-  one packed int32 sort, searchsorted, gather — ~0.1 ms/frame at 10k points).
-- All per-gaussian quantities are packed into ONE [N, 16] feature matrix and
-  gathered per (tile, slot) in a single row gather [T, K, 16]. Packing
-  matters: separate narrow gathers compile to XLA's serialized 1-D
-  scoped-memory gather path (~2 ms each, plus a process-wide dispatch
-  slowdown on the axon runtime), while the 16-wide row gather stays on the
-  fast vectorized path (~0.03 ms).
-- The gathered rows are turned into tile-local quadratic-form features
-  psi = (a, c, 2b, gx, gy, g0, 0, 0) such that the Mahalanobis form at
-  tile-local pixel (x, y) is q = psi . phi(x, y) with
-  phi = (x^2, y^2, xy, x, y, 1, 0, 0). Tile-local coordinates keep every
-  term bounded by ~conic * (radius + tile)^2 so the f32 matmul stays
-  accurate (global coordinates would lose ~1e-1 absolute in q at x ~ 10^3).
-- The kernel processes a batch of tiles per grid step:
-    q   = psi [TB*K, 8] @ phi^T [8, P]          (MXU)
-    w   = where(q <= q_cut, exp(-0.5 q), 0)      (VPU, the irreducible cost)
-    out = cm [TB, 8, K] @ w [TB, K, P] (batched) (MXU)
-  Each output tile is written exactly once: no revisiting, no atomics —
-  grid order is irrelevant and reductions are deterministic by construction.
-- custom_vjp wraps the WHOLE rasterize (gathers + kernel + untiling), not
-  just the pallas call: backward recomputes the cheap gather, runs the
-  transposed-matmul pallas kernel for per-slot gradients, applies the
-  analytic slot->parameter chain rule, and scatter-adds slot grads onto the
-  N gaussians with one segment-sum (the TPU replacement for CUDA atomicAdd;
-  deterministic).
-- Contributions are cut at q > q_cut (default 9 = 3 sigma); since the
-  3-sigma bbox used for binning contains the q<=9 ellipse, the kernel result
-  equals the cutoff-oracle sum exactly
-  (core.render_ref.render_sum_dense(q_cut=9)), up to per-tile capacity
-  overflow which is zero-filled and reported in aux.
+- XLA builds a tile-sorted instance stream (ops/tiles.py): expand each
+  gaussian into its overlapped tiles, ONE packed-int32 non-stable sort,
+  searchsorted window bounds per tile. No scatter, no histogram.
+- ONE row gather feat[N+1, 16] -> gfeat[I, 16] puts every instance's packed
+  features (xy, conic, color, opacity) in stream order. The zero row at
+  index N absorbs dead slots. All other per-slot work happens INSIDE the
+  kernel — XLA-side per-slot elementwise/stack ops compile to [T*K, 1]-
+  shaped fusions with 1/128 lane utilization (~2.5 ms/frame measured on
+  v5e), which is why v3 was memory-glue-bound.
+- The kernel (PrefetchScalarGridSpec, per-tile window bounds in SMEM) walks
+  each tile's [starts[t], starts[t+1]) window with a DATA-DEPENDENT
+  fori_loop trip count: work is proportional to the instances that actually
+  exist, not to a per-tile capacity. Per chunk of BK instances:
+    psi^T [8, BK]  built from gfeat rows (tile-local quadratic form)
+    q  = psi^T^T . phi [8, P]              (MXU, contraction 8)
+    w  = where(q <= q_cut & live, exp(-0.5 q), 0)     (VPU)
+    acc[8, P] += cm^T [8, BK] . w [BK, P]  (MXU, contraction BK)
+  phi = (x^2, y^2, xy, x, y, 1, 0, 0) on tile-local pixels; tile-local
+  coordinates keep every psi term bounded (~conic * (radius + tile)^2) so
+  f32 stays accurate.
+- No sorting by depth, no atomics: the sum is commutative, each output tile
+  is written once, per-instance gradients go to disjoint stream rows, and
+  the one segment scatter-add back onto the N gaussians is a deterministic
+  XLA reduction (the TPU replacement for CUDA atomicAdd).
+- custom_vjp wraps the WHOLE rasterize: backward re-gathers gfeat (cheap),
+  runs the mirrored kernel (transposed matmuls), applies the analytic
+  slot->parameter chain rule in-kernel, writes per-instance grads to the
+  stream, and one .at[gids].add scatters them onto the gaussians.
+- Contributions are cut at q > q_cut (default 9 = 3 sigma); the 3-sigma
+  binning bbox contains the q<=9 ellipse, so the kernel equals the
+  cutoff-oracle sum (core.render_ref.render_sum_dense(q_cut=9)) exactly,
+  up to instance-stream overflow which is reported in aux.
 
 Channel layout: cm rows = (o*r, o*g, o*b, o, 0..0) so channel 3 yields the
-accumulated alpha map for free; output image is produced in tiled layout
+accumulated alpha map for free; the image is produced in tiled layout
 [T, 8, tile_px^2] and rearranged in XLA.
 """
 
@@ -54,7 +56,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gaussianimage_tpu.ops.tiles import bin_gaussians_per_tile
+from gaussianimage_tpu.ops.tiles import bin_gaussian_instances
 
 _C = 8   # padded channel count: rgb + alpha + 4 pad (sublane-aligned)
 _F = 8   # quadratic-form feature count (6 used + 2 pad)
@@ -62,11 +64,13 @@ _FW = 16  # packed per-gaussian feature width (9 used + 7 pad, lane-friendly)
 
 
 class RasterizeConfig(NamedTuple):
-    tile_px: int = 16        # square image tile side (reference BLOCK 16x16)
-    max_per_tile: int = 192  # per-tile gaussian capacity (overflow -> aux)
+    tile_px: int = 32        # square image tile side (32 sweeps ~15% faster
+    #   than the reference's 16 on v5e: fewer tiles/chunks, same math)
     tiles_per_step: int = 8  # tiles per kernel grid step
+    block_inst: int = 64     # instances processed per inner-loop chunk (BK)
     q_cut: float = 9.0       # mahalanobis cutoff (3 sigma)
-    max_tiles_per_gauss: int = 64  # per-gaussian binning instance cap
+    max_tiles_per_gauss: int = 25  # per-gaussian binning instance cap
+    max_instances: Optional[int] = None  # stream cap (None -> auto from N)
     interpret: Optional[bool] = None  # None => interpret iff not on TPU
 
 
@@ -76,6 +80,18 @@ def _use_interpret(cfg: RasterizeConfig) -> bool:
     if os.environ.get("GITPU_PALLAS_INTERPRET") == "1":
         return True
     return jax.default_backend() not in ("tpu",)
+
+
+def _auto_max_instances(n: int, cfg: RasterizeConfig) -> int:
+    if cfg.max_instances is not None:
+        cap = cfg.max_instances
+    else:
+        # fitted scenes average ~1-2 tiles/gaussian at 32px tiles; 4x
+        # headroom, floor 16k (overflow is reported in aux["n_dropped"])
+        cap = max(4 * n, 16384)
+    cap = min(cap, n * cfg.max_tiles_per_gauss)
+    bk = cfg.block_inst
+    return -(-cap // bk) * bk  # round up to BK
 
 
 # ---------------------------------------------------------------------------
@@ -94,176 +110,236 @@ def _phi(tile_px: int):
     return jnp.concatenate(rows, axis=0)  # [8, P]
 
 
-def _weights(psi_flat, tile_px, q_cut):
-    phi = _phi(tile_px)
-    q = jax.lax.dot_general(psi_flat, phi, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-    return jnp.where(q <= q_cut, jnp.exp(-0.5 * q), 0.0)  # [TB*K, P]
+def _cm_rows(gT):
+    """cm^T [8, BK] (color*opacity rows + alpha row) from packed rows."""
+    col0, col1, col2, op = gT[5], gT[6], gT[7], gT[8]
+    z = jnp.zeros_like(op)
+    cmT = jnp.stack([col0 * op, col1 * op, col2 * op, op, z, z, z, z],
+                    axis=0)  # [8, BK]
+    return cmT, op
 
 
-def _fwd_kernel(psi_ref, cm_ref, out_ref, *, tile_px, q_cut, tb, k):
+def _tile_origin(t, tiles_x, tile_px):
+    tx0 = ((t % tiles_x) * tile_px).astype(jnp.float32)
+    ty0 = ((t // tiles_x) * tile_px).astype(jnp.float32)
+    return tx0, ty0
+
+
+def _fwd_kernel(starts_ref, gfeat_ref, out_ref,
+                *, tile_px, tb, bk, q_cut, tiles_x):
     P = tile_px * tile_px
-    w = _weights(psi_ref[:].reshape(tb * k, _F), tile_px, q_cut).reshape(
-        tb, k, P)
-    out_ref[:] = jax.lax.dot_general(
-        cm_ref[:], w, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # [TB, C, P]
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    X = (pidx % tile_px).astype(jnp.float32)  # [1, P] tile-local pixel x
+    Y = (pidx // tile_px).astype(jnp.float32)
+    g0 = pl.program_id(0)
+
+    def tile_body(i, _):
+        t = g0 * tb + i
+        start = starts_ref[t]
+        count = starts_ref[t + 1] - start
+        nch = (count + bk - 1) // bk
+        tx0, ty0 = _tile_origin(t, tiles_x, tile_px)
+
+        def chunk_body(ci, acc):
+            off = start + ci * bk
+            g = gfeat_ref[pl.ds(off, bk), :]  # [BK, 16]
+            gT = g.T
+            gx = (gT[0] - tx0)[:, None]  # [BK, 1] tile-local centers
+            gy = (gT[1] - ty0)[:, None]
+            a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
+            cmT, op = _cm_rows(gT)
+            # direct quadratic form on pixel offsets (pure VPU, no
+            # cancellation: dx, dy are tile-small)
+            dx = X - gx  # [BK, P]
+            dy = Y - gy
+            q = a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
+            slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+            live = slot < count
+            w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
+            return acc + jax.lax.dot_general(
+                cmT, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # [C, P]
+
+        acc = jax.lax.fori_loop(
+            0, nch, chunk_body, jnp.zeros((_C, P), jnp.float32))
+        out_ref[i] = acc
+        return 0
+
+    jax.lax.fori_loop(0, tb, tile_body, 0)
 
 
-def _bwd_kernel(psi_ref, cm_ref, g_ref, dpsi_ref, dcm_ref,
-                *, tile_px, q_cut, tb, k):
+def _bwd_kernel(starts_ref, gfeat_ref, g_ref, dgfeat_ref,
+                *, tile_px, tb, bk, q_cut, tiles_x):
     P = tile_px * tile_px
-    psi = psi_ref[:].reshape(tb * k, _F)
-    w = _weights(psi, tile_px, q_cut)  # [TB*K, P]
-    w3 = w.reshape(tb, k, P)
-    G = g_ref[:]  # [TB, C, P]
-    # dL/dw[t,k,p] = sum_c cm[t,c,k] G[t,c,p]
-    dw = jax.lax.dot_general(cm_ref[:], G, (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)  # [TB,K,P]
-    dq = (-0.5) * w * dw.reshape(tb * k, P)  # cutoff already folded into w
-    phi = _phi(tile_px)
-    dpsi_ref[:] = jax.lax.dot_general(
-        dq, phi, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST).reshape(tb, k, _F)
-    dcm_ref[:] = jax.lax.dot_general(
-        G, w3, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # [TB, C, K]
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    X = (pidx % tile_px).astype(jnp.float32)
+    Y = (pidx // tile_px).astype(jnp.float32)
+    g0 = pl.program_id(0)
+
+    @pl.when(g0 == 0)
+    def _init():
+        dgfeat_ref[:] = jnp.zeros_like(dgfeat_ref)
+
+    def tile_body(i, _):
+        t = g0 * tb + i
+        start = starts_ref[t]
+        count = starts_ref[t + 1] - start
+        nch = (count + bk - 1) // bk
+        tx0, ty0 = _tile_origin(t, tiles_x, tile_px)
+        G = g_ref[i]  # [C, P]
+
+        def chunk_body(ci, _):
+            off = start + ci * bk
+            g = gfeat_ref[pl.ds(off, bk), :]  # [BK, 16]
+            gT = g.T
+            gx = (gT[0] - tx0)[:, None]
+            gy = (gT[1] - ty0)[:, None]
+            a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
+            col0, col1, col2, op = gT[5], gT[6], gT[7], gT[8]
+            cmT, _ = _cm_rows(gT)
+            dx = X - gx
+            dy = Y - gy
+            q = a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
+            slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+            live = slot < count
+            w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
+            # dL/dw[k,p] = sum_c cm[c,k] G[c,p] — 4 rank-1 VPU updates
+            dw = (cmT[0][:, None] * G[0] + cmT[1][:, None] * G[1]
+                  + cmT[2][:, None] * G[2] + cmT[3][:, None] * G[3])
+            dq = (-0.5) * w * dw  # cutoff + live already folded into w
+            # row reductions over P (VPU) replace the dpsi matmul
+            dqdx = dq * dx
+            dqdy = dq * dy
+            s_xx = jnp.sum(dqdx * dx, axis=1, keepdims=True)   # [BK,1]
+            s_xy = jnp.sum(dqdx * dy, axis=1, keepdims=True)
+            s_yy = jnp.sum(dqdy * dy, axis=1, keepdims=True)
+            s_x = jnp.sum(dqdx, axis=1, keepdims=True)
+            s_y = jnp.sum(dqdy, axis=1, keepdims=True)
+            da = s_xx[:, 0]
+            db = 2.0 * s_xy[:, 0]
+            dc = s_yy[:, 0]
+            dgx = (-2.0 * a * s_x - 2.0 * b * s_y)[:, 0]
+            dgy = (-2.0 * b * s_x - 2.0 * c * s_y)[:, 0]
+            # dcm[c,k] = sum_p G[c,p] w[k,p] (contraction over P -> MXU)
+            dcmT = jax.lax.dot_general(
+                G, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # [8, BK]
+            dcol0 = dcmT[0] * op
+            dcol1 = dcmT[1] * op
+            dcol2 = dcmT[2] * op
+            dop = (dcmT[0] * col0 + dcmT[1] * col1 + dcmT[2] * col2
+                   + dcmT[3])
+            z = jnp.zeros_like(da)
+            dgT = jnp.stack([dgx, dgy, da, db, dc, dcol0, dcol1, dcol2,
+                             dop, z, z, z, z, z, z, z], axis=0)  # [16, BK]
+            dg = jnp.where(live, dgT.T, 0.0)  # [BK, 16]
+            # += : a tile's last chunk overlaps the NEXT tile's window; the
+            # masked add keeps neighbours intact (sequential grid => safe)
+            dgfeat_ref[pl.ds(off, bk), :] = (
+                dgfeat_ref[pl.ds(off, bk), :] + dg)
+            return 0
+
+        jax.lax.fori_loop(0, nch, chunk_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, tb, tile_body, 0)
 
 
-def _fwd_pallas(static, psi_flat, cm_tiles):
-    tile_px, K, TB, q_cut, T, interpret = static
+def _fwd_pallas(static, starts, gfeat):
+    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
     P = tile_px * tile_px
-    n_steps = T // TB
-    kern = functools.partial(_fwd_kernel, tile_px=tile_px, q_cut=q_cut,
-                             tb=TB, k=K)
+    kern = functools.partial(_fwd_kernel, tile_px=tile_px, tb=TB, bk=BK,
+                             q_cut=q_cut, tiles_x=tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // TB,),
+        in_specs=[pl.BlockSpec((I + BK, _FW), lambda g, s: (0, 0))],
+        out_specs=pl.BlockSpec((TB, _C, P), lambda g, s: (g, 0, 0)),
+    )
     return pl.pallas_call(
         kern,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((TB, K, _F), lambda t: (t, 0, 0)),
-            pl.BlockSpec((TB, _C, K), lambda t: (t, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((TB, _C, P), lambda t: (t, 0, 0)),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, _C, P), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=T * K * P * 2 * (_F + _C),
-            bytes_accessed=T * (K * (_F + _C) + _C * P) * 4,
-            transcendentals=T * K * P,
+            flops=I * P * 2 * (_F + _C),
+            bytes_accessed=(I * _FW + T * _C * P) * 4,
+            transcendentals=I * P,
         ),
-    )(psi_flat, cm_tiles)
+    )(starts, gfeat)
 
 
-def _bwd_pallas(static, psi_flat, cm_tiles, g):
-    tile_px, K, TB, q_cut, T, interpret = static
+def _bwd_pallas(static, starts, gfeat, g):
+    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
     P = tile_px * tile_px
-    n_steps = T // TB
-    kern = functools.partial(_bwd_kernel, tile_px=tile_px, q_cut=q_cut,
-                             tb=TB, k=K)
+    kern = functools.partial(_bwd_kernel, tile_px=tile_px, tb=TB, bk=BK,
+                             q_cut=q_cut, tiles_x=tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // TB,),
+        in_specs=[
+            pl.BlockSpec((I + BK, _FW), lambda g_, s: (0, 0)),
+            pl.BlockSpec((TB, _C, P), lambda g_, s: (g_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((I + BK, _FW), lambda g_, s: (0, 0)),
+    )
     return pl.pallas_call(
         kern,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((TB, K, _F), lambda t: (t, 0, 0)),
-            pl.BlockSpec((TB, _C, K), lambda t: (t, 0, 0)),
-            pl.BlockSpec((TB, _C, P), lambda t: (t, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((TB, K, _F), lambda t: (t, 0, 0)),
-            pl.BlockSpec((TB, _C, K), lambda t: (t, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, K, _F), jnp.float32),
-            jax.ShapeDtypeStruct((T, _C, K), jnp.float32),
-        ],
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((I + BK, _FW), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=T * K * P * 4 * (_F + _C),
-            bytes_accessed=T * (2 * K * (_F + _C) + _C * P) * 4,
-            transcendentals=T * K * P,
+            flops=I * P * 4 * (_F + _C),
+            bytes_accessed=(2 * I * _FW + T * _C * P) * 4,
+            transcendentals=I * P,
         ),
-    )(psi_flat, cm_tiles, g)
+    )(starts, gfeat, g)
 
 
 # ---------------------------------------------------------------------------
-# packed gather + tile features (shared by fwd and bwd recompute)
+# XLA-side glue (pack, untile) + custom_vjp over the whole rasterize
 # ---------------------------------------------------------------------------
-
-
-def _grid_geom(static):
-    tile_px, K, TB, q_cut, interpret, H, W = static
-    tiles_x = -(-W // tile_px)
-    tiles_y = -(-H // tile_px)
-    T_real = tiles_x * tiles_y
-    T = T_real + ((-T_real) % TB)
-    return tiles_x, tiles_y, T_real, T
-
-
-def _slot_features(static, idx, feat):
-    """Gather packed rows and build (psi [T*K, 8], cm [T, 8, K], slot geom)."""
-    tile_px, K, TB, q_cut, interpret, H, W = static
-    tiles_x, tiles_y, T_real, T = _grid_geom(static)
-    live = idx >= 0
-    safe = jnp.maximum(idx, 0)
-    g = feat[safe]  # [T, K, 16] — ONE wide row gather (fast path)
-    gx, gy = g[..., 0], g[..., 1]
-    a, b, c = g[..., 2], g[..., 3], g[..., 4]
-    col = g[..., 5:8]
-    op = jnp.where(live, g[..., 8], 0.0)
-
-    tids = jnp.arange(T, dtype=jnp.int32)
-    tx0 = ((tids % tiles_x) * tile_px).astype(jnp.float32)
-    ty0 = ((tids // tiles_x) * tile_px).astype(jnp.float32)
-    xr = gx - tx0[:, None]  # tile-local centers [T, K]
-    yr = gy - ty0[:, None]
-
-    psi = jnp.stack([
-        a, c, 2.0 * b,
-        -2.0 * (a * xr + b * yr),
-        -2.0 * (c * yr + b * xr),
-        a * xr * xr + 2.0 * b * xr * yr + c * yr * yr,
-        jnp.zeros_like(a), jnp.zeros_like(a),
-    ], axis=-1)  # [T, K, 8]
-    z = jnp.zeros_like(op)
-    cm = jnp.stack([col[..., 0] * op, col[..., 1] * op, col[..., 2] * op,
-                    op, z, z, z, z], axis=1)  # [T, 8, K]
-    geom = (live, safe, a, b, c, col, op, xr, yr)
-    return psi, cm, geom  # psi [T, K, 8] (kept 3-D: a flat reshape here
-    # propagates up through XLA and turns the row gathers into slow 1-D ones)
 
 
 def _pack_feat(xys, conics, colors, opac):
+    """[N+1, 16] packed rows; the zero row at N absorbs dead-slot reads."""
     N = xys.shape[0]
     return jnp.concatenate([
-        xys.astype(jnp.float32),
-        conics.astype(jnp.float32),
-        colors.astype(jnp.float32),
-        opac.reshape(N, 1).astype(jnp.float32),
-        jnp.zeros((N, _FW - 9), jnp.float32),
-    ], axis=1)  # [N, 16]
+        jnp.concatenate([
+            xys.astype(jnp.float32),
+            conics.astype(jnp.float32),
+            colors.astype(jnp.float32),
+            opac.reshape(N, 1).astype(jnp.float32),
+            jnp.zeros((N, _FW - 9), jnp.float32),
+        ], axis=1),
+        jnp.zeros((1, _FW), jnp.float32),
+    ], axis=0)
 
 
 def _untile(static, out_tiled):
-    tile_px, K, TB, q_cut, interpret, H, W = static
-    tiles_x, tiles_y, T_real, T = _grid_geom(static)
+    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
     tp = tile_px
+    tiles_y = -(-H // tp)
+    T_real = tiles_x * tiles_y
     img_full = (out_tiled[:T_real]
                 .reshape(tiles_y, tiles_x, _C, tp, tp)
                 .transpose(2, 0, 3, 1, 4)
                 .reshape(_C, tiles_y * tp, tiles_x * tp))[:, :H, :W]
-    return img_full[:3].transpose(1, 2, 0), img_full[3]  # img [H,W,3], alpha
+    return img_full[:3].transpose(1, 2, 0), img_full[3]  # [H,W,3], [H,W]
 
 
 def _tile_cotangent(static, d_img, d_alpha):
     """Inverse of _untile: scatter (d_img, d_alpha) into [T, 8, P] tiles."""
-    tile_px, K, TB, q_cut, interpret, H, W = static
-    tiles_x, tiles_y, T_real, T = _grid_geom(static)
+    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
     tp = tile_px
+    tiles_y = -(-H // tp)
+    T_real = tiles_x * tiles_y
     Hp, Wp = tiles_y * tp, tiles_x * tp
     buf = jnp.zeros((_C, Hp, Wp), jnp.float32)
     buf = jax.lax.dynamic_update_slice(
@@ -278,64 +354,45 @@ def _tile_cotangent(static, d_img, d_alpha):
     return G
 
 
-# ---------------------------------------------------------------------------
-# custom_vjp over the whole rasterize
-# ---------------------------------------------------------------------------
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _raster(static, idx, feat):
-    out, _ = _raster_fwd(static, idx, feat)
+def _raster(static, gids, starts, feat):
+    out, _ = _raster_fwd(static, gids, starts, feat)
     return out
 
 
-def _raster_fwd(static, idx, feat):
-    tile_px, K, TB, q_cut, interpret, H, W = static
-    _, _, _, T = _grid_geom(static)
-    psi, cm, _ = _slot_features(static, idx, feat)
-    kstatic = (tile_px, K, TB, q_cut, T, interpret)
-    out_tiled = _fwd_pallas(kstatic, psi, cm)  # [T, 8, P]
+def _gather_stream(static, gids, feat):
+    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
+    N = feat.shape[0] - 1
+    # pad the stream by BK rows so the kernel's fixed-size dynamic slices
+    # never clamp (a clamped pl.ds start would shift the window)
+    safe = jnp.concatenate([gids, jnp.full((BK,), N, jnp.int32)])
+    return feat[safe]  # [I + BK, 16] — one wide row gather
+
+
+def _raster_fwd(static, gids, starts, feat):
+    gfeat = _gather_stream(static, gids, feat)
+    out_tiled = _fwd_pallas(static, starts, gfeat)
     img, alpha = _untile(static, out_tiled)
-    return (img, alpha), (idx, feat)
+    return (img, alpha), (gids, starts, feat)
 
 
 def _raster_bwd(static, res, g):
-    idx, feat = res
+    gids, starts, feat = res
     d_img, d_alpha = g
-    tile_px, K, TB, q_cut, interpret, H, W = static
-    _, _, _, T = _grid_geom(static)
-    N = feat.shape[0]
-
-    psi, cm, geom = _slot_features(static, idx, feat)  # cheap recompute
-    live, safe, a, b, c, col, op, xr, yr = geom
+    N = feat.shape[0] - 1
+    gfeat = _gather_stream(static, gids, feat)  # cheap recompute
     G = _tile_cotangent(static, d_img.astype(jnp.float32),
                         d_alpha.astype(jnp.float32))
-    kstatic = (tile_px, K, TB, q_cut, T, interpret)
-    dpsi, dcm = _bwd_pallas(kstatic, psi, cm, G)
-    d0, d1, d2 = dpsi[..., 0], dpsi[..., 1], dpsi[..., 2]
-    d3, d4, d5 = dpsi[..., 3], dpsi[..., 4], dpsi[..., 5]
-
-    # analytic slot -> parameter chain rule (dead slots: cm = 0 => dpsi = 0;
-    # dcolors scale by op = 0; dop masked by live explicitly)
-    da = d0 - 2.0 * xr * d3 + xr * xr * d5
-    db = 2.0 * d2 - 2.0 * yr * d3 - 2.0 * xr * d4 + 2.0 * xr * yr * d5
-    dc = d1 - 2.0 * yr * d4 + yr * yr * d5
-    dgx = -2.0 * a * d3 - 2.0 * b * d4 + (2.0 * a * xr + 2.0 * b * yr) * d5
-    dgy = -2.0 * b * d3 - 2.0 * c * d4 + (2.0 * b * xr + 2.0 * c * yr) * d5
-    dcol0 = dcm[:, 0, :] * op
-    dcol1 = dcm[:, 1, :] * op
-    dcol2 = dcm[:, 2, :] * op
-    dop = jnp.where(live, dcm[:, 0, :] * col[..., 0]
-                    + dcm[:, 1, :] * col[..., 1]
-                    + dcm[:, 2, :] * col[..., 2] + dcm[:, 3, :], 0.0)
-
-    z = jnp.zeros_like(dop)
-    dslots = jnp.stack([dgx, dgy, da, db, dc, dcol0, dcol1, dcol2, dop,
-                        z, z, z, z, z, z, z], axis=-1)  # [T, K, 16]
-    dslots = jnp.where(live[..., None], dslots, 0.0)
-    dfeat = jnp.zeros((N, _FW), jnp.float32).at[safe].add(dslots)
-    d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
-    return d_idx, dfeat
+    dgfeat = _bwd_pallas(static, starts, gfeat, G)  # [I + BK, 16]
+    I = gids.shape[0]
+    safe = jnp.concatenate([gids, jnp.full((dgfeat.shape[0] - I,), N,
+                                           jnp.int32)])
+    # deterministic segment-sum onto the N gaussians; row N collects dead
+    # slots and is dropped
+    dfeat = jnp.zeros_like(feat).at[safe].add(dgfeat)
+    dfeat = dfeat.at[N].set(0.0)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return f0(gids), f0(starts), dfeat
 
 
 _raster.defvjp(_raster_fwd, _raster_bwd)
@@ -370,36 +427,38 @@ def rasterize_gaussians_sum(
     xys [N,2] pixel coords, conics [N,3], colors [N,3] (any per-point values),
     opacities [N,1] or [N]. Returns (img [H,W,3], alpha [H,W], aux) where
     alpha is the sum of plain opacity-weighted gaussian weights and aux
-    carries the per-tile capacity overflow counter. No clamping, no
+    carries the instance-stream overflow counter. No clamping, no
     background compositing (reference semantics: the model clamps,
     gaussianimage_cholesky.py:83-84).
     """
     cfg = config
+    N = xys.shape[0]
     tp = cfg.tile_px
-    K = cfg.max_per_tile
     tiles_x = -(-W // tp)
     tiles_y = -(-H // tp)
     T_real = tiles_x * tiles_y
     TB = cfg.tiles_per_step
+    T = T_real + ((-T_real) % TB)
+    I = _auto_max_instances(N, cfg)
 
     if radii is None:
         radii = _radii_from_conics(jax.lax.stop_gradient(conics))
     radii = jax.lax.stop_gradient(radii.astype(jnp.float32))
 
-    bins = bin_gaussians_per_tile(
+    stream = bin_gaussian_instances(
         jax.lax.stop_gradient(xys).astype(jnp.float32), radii,
-        tiles_x, tiles_y, tp, K, max_tiles_per_gauss=cfg.max_tiles_per_gauss)
-    idx = bins.index  # [T_real, K], -1 empty
-    pad_t = (-T_real) % TB
-    if pad_t:
-        idx = jnp.concatenate(
-            [idx, jnp.full((pad_t, K), -1, jnp.int32)], axis=0)
+        tiles_x, tiles_y, tp, I, T,
+        max_tiles_per_gauss=cfg.max_tiles_per_gauss)
 
     feat = _pack_feat(xys, conics, colors, opacities)
-    static = (tp, K, TB, float(cfg.q_cut), _use_interpret(cfg), H, W)
-    img, alpha = _raster(static, idx, feat)
+    static = (tp, TB, cfg.block_inst, float(cfg.q_cut), tiles_x, T,
+              _use_interpret(cfg), H, W, I)
+    img, alpha = _raster(static, stream.gids, stream.starts, feat)
 
-    aux = {"n_dropped": bins.n_dropped, "max_per_tile_used": bins.counts.max(),
+    counts = stream.starts[1:T_real + 1] - stream.starts[:T_real]
+    aux = {"n_dropped": stream.n_dropped,
+           "max_per_tile_used": counts.max(),
            # legacy keys kept for monitoring call sites
-           "n_dropped_fwd": bins.n_dropped, "n_dropped_bwd": bins.n_dropped}
+           "n_dropped_fwd": stream.n_dropped,
+           "n_dropped_bwd": stream.n_dropped}
     return img, alpha, aux

@@ -121,3 +121,102 @@ def bin_gaussians_per_tile(
     n_dropped = (jnp.maximum(counts_full - K, 0).sum() + trunc.sum()
                  ).astype(jnp.int32)
     return TileBins(table, counts, n_dropped)
+
+
+class InstanceStream(NamedTuple):
+    """Tile-sorted gaussian-instance stream (v4 rasterizer input).
+
+    gids [I] int32: gaussian id per sorted instance, ``n_sentinel`` for dead
+    slots (all dead slots sort to the tail). starts [T+1] int32: per-tile
+    window bounds into the stream, clipped to I and padded so tiles beyond
+    the real grid have empty windows.
+    """
+    gids: jnp.ndarray
+    starts: jnp.ndarray
+    n_dropped: jnp.ndarray  # [] int32: instances lost to caps (monitoring)
+
+
+def bin_gaussian_instances(
+    xys: jnp.ndarray,
+    radii: jnp.ndarray,
+    tiles_x: int,
+    tiles_y: int,
+    tile_px: int,
+    max_instances: int,
+    n_tiles_padded: int,
+    max_tiles_per_gauss: int = 36,
+    order: Optional[jnp.ndarray] = None,
+) -> InstanceStream:
+    """Expand gaussians into (tile, gaussian) instances sorted by tile.
+
+    Same expansion + packed single-int32 sort as ``bin_gaussians_per_tile``
+    but returns the sorted stream itself instead of a fixed-capacity
+    [T, K] table: the v4 rasterizer walks each tile's [starts[t],
+    starts[t+1]) window with a data-dependent trip count, so there is no
+    per-tile capacity — only the global ``max_instances`` stream cap.
+    ``gids`` uses N (one past the last gaussian) as the dead-slot sentinel so
+    a zero-padded feature row can absorb dead reads.
+    """
+    T = tiles_x * tiles_y
+    N = xys.shape[0]
+    M = max_tiles_per_gauss
+    I = max_instances
+
+    if order is not None:
+        xs = xys[order]
+        rs = radii[order]
+    else:
+        xs = xys
+        rs = radii
+    x = xs[:, 0]
+    y = xs[:, 1]
+    r = rs.astype(jnp.float32)
+
+    x0 = jnp.clip(jnp.floor((x - r) / tile_px), 0, tiles_x - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((x + r) / tile_px), 0, tiles_x - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((y - r) / tile_px), 0, tiles_y - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((y + r) / tile_px), 0, tiles_y - 1).astype(jnp.int32)
+    inside = ((r > 0)
+              & (x + r >= 0) & (x - r < tiles_x * tile_px)
+              & (y + r >= 0) & (y - r < tiles_y * tile_px))
+    span_w = x1 - x0 + 1
+    area = span_w * (y1 - y0 + 1)
+    trunc = jnp.where(inside, jnp.maximum(area - M, 0), 0)
+
+    jj = jnp.arange(M, dtype=jnp.int32)[None, :]
+    jx = jj % span_w[:, None]
+    jy = jj // span_w[:, None]
+    tile = (y0[:, None] + jy) * tiles_x + (x0[:, None] + jx)  # [N, M]
+    live = inside[:, None] & (jj < jnp.minimum(area, M)[:, None])
+
+    rank = jnp.arange(N, dtype=jnp.int32)
+    id_bits = max(int(N - 1).bit_length(), 1)
+    tid_ext = jnp.arange(T + 1, dtype=jnp.int32)
+    if (T + 1) * (1 << id_bits) < 2 ** 31:
+        key = jnp.where(live, (tile << id_bits) | rank[:, None],
+                        jnp.int32(2 ** 31 - 1))
+        skey = jnp.sort(key.reshape(-1), stable=False)[:I]
+        srank = (skey & ((1 << id_bits) - 1)).astype(jnp.int32)
+        dead = skey == jnp.int32(2 ** 31 - 1)
+        queries = tid_ext << id_bits
+    else:
+        key = jnp.where(live, tile.astype(jnp.int64) * (N + 1) + rank[:, None],
+                        jnp.int64((T + 1) * (N + 1)))
+        skey = jnp.sort(key.reshape(-1), stable=False)[:I]
+        srank = (skey % (N + 1)).astype(jnp.int32)
+        dead = skey == jnp.int64((T + 1) * (N + 1))
+        queries = tid_ext.astype(jnp.int64) * (N + 1)
+
+    gids = jnp.where(dead, N, srank)
+    if order is not None:
+        ordered = jnp.concatenate(
+            [order.astype(jnp.int32), jnp.asarray([N], jnp.int32)])
+        gids = ordered[gids]
+    bounds = jnp.minimum(jnp.searchsorted(skey, queries), I).astype(jnp.int32)
+    starts = jnp.concatenate([
+        bounds,
+        jnp.full((n_tiles_padded - T,), bounds[-1], jnp.int32),
+    ]) if n_tiles_padded > T else bounds
+    n_total = jnp.where(live, 1, 0).sum()
+    n_dropped = (trunc.sum() + jnp.maximum(n_total - I, 0)).astype(jnp.int32)
+    return InstanceStream(gids, starts, n_dropped)

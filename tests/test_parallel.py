@@ -16,7 +16,7 @@ from gaussianimage_tpu.parallel import (
 )
 from gaussianimage_tpu.utils.image_io import synthetic_image
 
-RASTER = RasterizeConfig()
+RASTER = RasterizeConfig(tile_px=16)  # small test images: 16px tiles split evenly
 
 
 def _setup(D, H=32, W=48, N=256):

@@ -88,7 +88,7 @@ def test_jit_and_config_invariance():
 
     img = render(xys, conics, colors, opac)
     # different tiling configs must produce the same image
-    cfg2 = CFG._replace(tile_px=32, tiles_per_step=2, max_per_tile=256)
+    cfg2 = CFG._replace(tile_px=32, tiles_per_step=2, block_inst=32)
     img2, _, _ = rasterize_gaussians_sum(xys, conics, colors, opac, H, W,
                                          radii=radii, config=cfg2)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img2),
@@ -108,13 +108,13 @@ def test_nonmultiple_image_size():
 
 
 def test_capacity_overflow_never_produces_garbage():
-    # Force per-tile capacity overflow (max_per_tile tiny): outputs and
-    # gradients must stay finite (overflow slots are zero-filled), and the
+    # Force instance-stream overflow (max_instances tiny): outputs and
+    # gradients must stay finite (overflow windows are clipped), and the
     # drop must be reported. Regression for the uninitialized-memory NaN
     # found on TPU with the earlier design.
     N, H, W = 512, 32, 48
     xys, radii, conics, colors, opac = _scene(N, H, W, seed=9)
-    cfg = CFG._replace(max_per_tile=8)
+    cfg = CFG._replace(max_instances=128)  # << the ~1.5k live instances
 
     def loss(args):
         xys, colors = args
@@ -127,11 +127,10 @@ def test_capacity_overflow_never_produces_garbage():
     assert np.isfinite(float(l))
     for arr in g:
         assert bool(jnp.isfinite(arr).all())
-    # ample capacity: no drops (512 gaussians over only 6 tiles is far above
-    # the default 192/tile density, so use a 512 cap here)
+    # ample capacity: no drops
     _, _, aux2 = rasterize_gaussians_sum(
         xys, conics, colors, opac, H, W, radii=radii,
-        config=CFG._replace(max_per_tile=512))
+        config=CFG._replace(max_instances=32768))
     assert int(aux2["n_dropped"]) == 0
 
 
