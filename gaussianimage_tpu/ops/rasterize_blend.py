@@ -6,8 +6,8 @@ transmittance, returns (img, alpha)).
 
 Design: this is the baseline model's kernel (the paper's contribution is the
 *sum* rasterizer, ops/rasterize_sum.py, which is Pallas). Here sorting and
-order-dependence make XLA the right tool: a global depth sort, a chunked
-binning scan building per-tile depth-ordered index lists, and a blending scan
+order-dependence make XLA the right tool: a global depth sort, sort-based
+per-tile depth-ordered index lists (ops/tiles.py), and a blending scan
 over tile chunks with rematerialization. Everything is fused XLA with static
 shapes; autodiff gives exact gradients through the compositing order.
 """
@@ -19,6 +19,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from gaussianimage_tpu.ops.tiles import bin_gaussians_per_tile
+
 
 class BlendConfig(NamedTuple):
     tile_px: int = 16
@@ -28,63 +30,6 @@ class BlendConfig(NamedTuple):
     tile_chunk: int = 32        # blending scan chunk
     alpha_clip: float = 0.999
     alpha_min: float = 1.0 / 255.0
-
-
-def _bin_gaussians(xys, radii, order, tiles_x, tiles_y, cfg: BlendConfig):
-    """Build per-tile depth-ordered gaussian index lists [T, K] (+counts).
-
-    Gaussians are processed in depth order; a scan over gaussian chunks keeps
-    the [T, chunk] hit matrix bounded and carries per-tile counts, so within a
-    tile the stored indices remain depth-sorted.
-    """
-    tp = cfg.tile_px
-    T = tiles_x * tiles_y
-    K = cfg.max_per_tile
-    N = xys.shape[0]
-    C = cfg.gauss_chunk
-    pad = (-N) % C
-    idx_sorted = jnp.concatenate(
-        [order, jnp.full((pad,), -1, jnp.int32)]) if pad else order
-    xs = jnp.concatenate([xys[order], jnp.zeros((pad, 2))]) if pad else xys[order]
-    rs = jnp.concatenate([radii[order], jnp.zeros((pad,))]) if pad else radii[order]
-    n_chunks = (N + pad) // C
-
-    tile_t = jnp.arange(T, dtype=jnp.int32)
-    tx = (tile_t % tiles_x)[:, None]
-    ty = (tile_t // tiles_x)[:, None]
-
-    def body(carry, args):
-        table, counts, dropped = carry
-        cxy, cr, cidx = args
-        x0 = jnp.floor((cxy[:, 0] - cr) / tp)
-        x1 = jnp.floor((cxy[:, 0] + cr) / tp)
-        y0 = jnp.floor((cxy[:, 1] - cr) / tp)
-        y1 = jnp.floor((cxy[:, 1] + cr) / tp)
-        ok = (cidx >= 0) & (cr > 0)
-        hit = (ok[None, :] & (tx >= x0[None]) & (tx <= x1[None])
-               & (ty >= y0[None]) & (ty <= y1[None]))  # [T, C]
-        hit = hit.astype(jnp.int32)
-        within = jnp.cumsum(hit, axis=1) - hit
-        pos = counts[:, None] + within  # [T, C]
-        dest = jnp.where((hit > 0) & (pos < K), tile_t[:, None] * K + pos,
-                         T * K)
-        table = table.reshape(-1)
-        table = jnp.concatenate([table, jnp.zeros((1,), table.dtype)])
-        table = table.at[dest.reshape(-1)].set(
-            jnp.broadcast_to(cidx[None, :], dest.shape).reshape(-1),
-            mode="drop")[:-1].reshape(T, K)
-        new_counts = counts + hit.sum(axis=1)
-        dropped = dropped + jnp.maximum(new_counts - K, 0).sum() \
-            - jnp.maximum(counts - K, 0).sum()
-        return (table, new_counts, dropped), None
-
-    table0 = jnp.full((T, K), -1, jnp.int32)
-    (table, counts, dropped), _ = jax.lax.scan(
-        body,
-        (table0, jnp.zeros((T,), jnp.int32), jnp.zeros((), jnp.int32)),
-        (xs.reshape(n_chunks, C, 2), rs.reshape(n_chunks, C),
-         idx_sorted.reshape(n_chunks, C)))
-    return table, jnp.minimum(counts, K), dropped
 
 
 def rasterize_gaussians_blend(
@@ -113,9 +58,14 @@ def rasterize_gaussians_blend(
 
     order = jnp.argsort(jax.lax.stop_gradient(depths), stable=True)
     order = order.astype(jnp.int32)
-    table, counts, dropped = _bin_gaussians(
-        jax.lax.stop_gradient(xys), jax.lax.stop_gradient(radii), order,
-        tiles_x, tiles_y, cfg)
+    # sort-based binning (ops/tiles.py); passing the depth order keeps each
+    # tile's index list depth-sorted, which the compositing scan requires
+    bins = bin_gaussians_per_tile(
+        jax.lax.stop_gradient(xys).astype(jnp.float32),
+        jax.lax.stop_gradient(radii).astype(jnp.float32),
+        tiles_x, tiles_y, tp, K, order=order,
+        max_tiles_per_gauss=cfg.max_tiles_per_gauss)
+    table, counts, dropped = bins.index, bins.counts, bins.n_dropped
 
     opac = opacities.reshape(N)
     tc = cfg.tile_chunk
