@@ -53,6 +53,7 @@ class SimpleTrainer2d:
         self.chunk_size = min(chunk_size, iterations) if iterations else chunk_size
         self.H, self.W = int(gt_image.shape[2]), int(gt_image.shape[3])
         self.save_imgs = bool(getattr(args, "save_imgs", False))
+        self.profile_dir = getattr(args, "profile", None)
         self.model_name = model_name
 
         mask_cfg = None
@@ -107,7 +108,29 @@ class SimpleTrainer2d:
         start_time = time.time()
         it = 0
         key = self.key
+        profile_dir = self.profile_dir
         while it < self.iterations:
+            if profile_dir and it == self.chunk_size:
+                # trace the second chunk (first is compile) + a few renders;
+                # device-side op durations in the trace are the only honest
+                # timings on the axon runtime (see .claude/skills/verify)
+                with jax.profiler.trace(str(profile_dir)):
+                    key, sub = jax.random.split(key)
+                    self.state, losses, psnrs = self._chunk_fn(
+                        self.state, self.gt_image, sub, jnp.asarray(it + 1))
+                    for _ in range(10):
+                        img = self._render_fn(self.state.params)
+                    jax.block_until_ready(img)
+                    time.sleep(4)  # let the device queue drain inside the trace
+                losses = np.asarray(losses)
+                psnrs = np.asarray(psnrs)
+                n = min(self.chunk_size, self.iterations - it)
+                loss_list.extend(losses[:n].tolist())
+                psnr_list.extend(psnrs[:n].tolist())
+                iter_list.extend(range(it + 1, it + n + 1))
+                it += n
+                self.logwriter.write(f"profiler trace written to {profile_dir}")
+                continue
             key, sub = jax.random.split(key)
             self.state, losses, psnrs = self._chunk_fn(
                 self.state, self.gt_image, sub, jnp.asarray(it + 1))
@@ -190,6 +213,9 @@ def parse_args(argv):
     p.add_argument("--chunk_size", type=int, default=250,
                    help="train iterations per on-device scan chunk")
     p.add_argument("--checkpoint_root", type=str, default="./checkpoints")
+    p.add_argument("--profile", type=str, default=None,
+                   help="directory for a jax.profiler trace of one training "
+                        "chunk + renders (device-side timings)")
     # wMask options (reference train.py:310-326)
     p.add_argument("--start_mask_training", type=int, default=0)
     p.add_argument("--stop_mask_training", type=int, default=50000)
