@@ -4,32 +4,406 @@ gaussiansplatting_3d.py:117-118: front-to-back compositing
 c += T * alpha * rgb, T *= (1 - alpha), background composited with the final
 transmittance, returns (img, alpha)).
 
-Design: this is the baseline model's kernel (the paper's contribution is the
-*sum* rasterizer, ops/rasterize_sum.py, which is Pallas). Here sorting and
-order-dependence make XLA the right tool: a global depth sort, sort-based
-per-tile depth-ordered index lists (ops/tiles.py), and a blending scan
-over tile chunks with rematerialization. Everything is fused XLA with static
-shapes; autodiff gives exact gradients through the compositing order.
+Two implementations:
+
+- ``rasterize_gaussians_blend`` (default): Pallas instance-stream kernels
+  sharing the sum rasterizer's architecture (ops/rasterize_sum.py): tile-
+  sorted instance stream with DEPTH order inside each tile, per-tile
+  data-dependent trip counts, packed [N+1, 16] feature rows, one row gather,
+  whole-op custom_vjp with a hand-written backward and one segment
+  scatter-add. The order-dependent part — transmittance — is carried in LOG
+  space: per chunk, exclusive prefix sums of log(1 - alpha) via a
+  strictly-triangular matmul give every instance's T exactly (the CUDA
+  back-to-front division trick, gsplat's bwd, underflows f32 at ~e^-87;
+  log-space does not). Backward walks chunks in REVERSE, reconstructing
+  T_k = exp(logT_fin - suffix) and the suffix color sums with the mirrored
+  triangular matmul.
+- ``rasterize_gaussians_blend_xla``: the pure-XLA scan version (exact
+  autodiff through compositing) — kept as the differentiable oracle the
+  Pallas kernels are tested against.
 """
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-from gaussianimage_tpu.ops.tiles import bin_gaussians_per_tile
+from gaussianimage_tpu.ops.tiles import bin_gaussian_instances, bin_gaussians_per_tile
+
+_C = 8   # padded channels: rgb + T_fin + logT_fin + 3 pad
+_FW = 16
 
 
 class BlendConfig(NamedTuple):
     tile_px: int = 16
-    max_per_tile: int = 256     # per-tile gaussian cap (overflow reported)
-    max_tiles_per_gauss: int = 64   # bbox cap per gaussian (8x8 tiles)
-    gauss_chunk: int = 1024     # binning scan chunk
-    tile_chunk: int = 32        # blending scan chunk
+    tiles_per_step: int = 8      # tiles per kernel grid step
+    block_inst: int = 64         # instances per inner chunk (BK)
+    max_tiles_per_gauss: int = 25
+    max_instances: Optional[int] = None  # stream cap (None -> auto from N)
     alpha_clip: float = 0.999
     alpha_min: float = 1.0 / 255.0
+    interpret: Optional[bool] = None
+    # XLA-oracle knobs (rasterize_gaussians_blend_xla only)
+    max_per_tile: int = 256
+    tile_chunk: int = 32
+
+
+def _use_interpret(cfg: BlendConfig) -> bool:
+    if cfg.interpret is not None:
+        return cfg.interpret
+    if os.environ.get("GITPU_PALLAS_INTERPRET") == "1":
+        return True
+    return jax.default_backend() not in ("tpu",)
+
+
+def _auto_max_instances(n: int, cfg: BlendConfig) -> int:
+    cap = cfg.max_instances if cfg.max_instances is not None else max(4 * n, 16384)
+    cap = min(cap, n * cfg.max_tiles_per_gauss)
+    return -(-cap // cfg.block_inst) * cfg.block_inst
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _tri(bk: int, kind: str):
+    """Constant [BK, BK] triangular 0/1 matrices for prefix/suffix sums."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (bk, bk), 1)
+    if kind == "lower_strict":   # (M @ x)[k] = sum_{j<k} x[j]
+        m = c < r
+    elif kind == "upper_strict":  # (M @ x)[k] = sum_{j>k} x[j]
+        m = c > r
+    else:
+        raise ValueError(kind)
+    return m.astype(jnp.float32)
+
+
+def _alpha_terms(gT, tx0, ty0, X, Y, count, ci, bk, alpha_clip, alpha_min):
+    """alpha [BK, P] (clipped/cut/masked), plus intermediates for bwd."""
+    gx = (gT[0] - tx0)[:, None]
+    gy = (gT[1] - ty0)[:, None]
+    a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
+    op = gT[8][:, None]
+    dx = X - gx
+    dy = Y - gy
+    q = jnp.maximum(a * dx * dx + 2.0 * b * dx * dy + c * dy * dy, 0.0)
+    slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+    live = slot < count
+    w = jnp.exp(-0.5 * q)
+    raw = op * w
+    in_range = live & (raw >= alpha_min) & (raw <= alpha_clip)
+    alpha = jnp.where(live & (raw >= alpha_min),
+                      jnp.minimum(raw, alpha_clip), 0.0)
+    return alpha, in_range, w, q, dx, dy, (a, b, c, op)
+
+
+def _blend_fwd_kernel(starts_ref, gfeat_ref, out_ref,
+                      *, tile_px, tb, bk, tiles_x, alpha_clip, alpha_min):
+    P = tile_px * tile_px
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    X = (pidx % tile_px).astype(jnp.float32)
+    Y = (pidx // tile_px).astype(jnp.float32)
+    Ls = _tri(bk, "lower_strict")
+    g0 = pl.program_id(0)
+
+    def tile_body(i, _):
+        t = g0 * tb + i
+        start = starts_ref[t]
+        count = starts_ref[t + 1] - start
+        nch = (count + bk - 1) // bk
+        tx0 = ((t % tiles_x) * tile_px).astype(jnp.float32)
+        ty0 = ((t // tiles_x) * tile_px).astype(jnp.float32)
+
+        def chunk_body(ci, carry):
+            logT, acc = carry  # [1, P], [8, P]
+            off = start + ci * bk
+            g = gfeat_ref[pl.ds(off, bk), :]
+            gT = g.T
+            alpha, _, _, _, _, _, _ = _alpha_terms(
+                gT, tx0, ty0, X, Y, count, ci, bk, alpha_clip, alpha_min)
+            l1m = jnp.log1p(-alpha)  # [BK, P], in [log(1-clip), 0]
+            excl = jax.lax.dot_general(
+                Ls, l1m, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # prefix sums (excl.)
+            T_k = jnp.exp(logT + excl)
+            vis = alpha * T_k  # [BK, P]
+            col0, col1, col2 = gT[5][:, None], gT[6][:, None], gT[7][:, None]
+            z = jnp.zeros_like(gT[5])[:, None]
+            colT = jnp.concatenate(
+                [col0, col1, col2, z, z, z, z, z], axis=1).T  # [8, BK]
+            acc = acc + jax.lax.dot_general(
+                colT, vis, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            logT = logT + jnp.sum(l1m, axis=0, keepdims=True)
+            return (logT, acc)
+
+        logT, acc = jax.lax.fori_loop(
+            0, nch, chunk_body,
+            (jnp.zeros((1, P), jnp.float32), jnp.zeros((_C, P), jnp.float32)))
+        # rows: 0-2 premultiplied rgb, 3 T_fin, 4 logT_fin (stable bwd)
+        out_ref[i] = jnp.concatenate(
+            [acc[0:3], jnp.exp(logT), logT,
+             jnp.zeros((_C - 5, logT.shape[1]), jnp.float32)], axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, tb, tile_body, 0)
+
+
+def _blend_bwd_kernel(starts_ref, gfeat_ref, out_ref, g_ref, dgfeat_ref,
+                      *, tile_px, tb, bk, tiles_x, alpha_clip, alpha_min):
+    P = tile_px * tile_px
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    X = (pidx % tile_px).astype(jnp.float32)
+    Y = (pidx // tile_px).astype(jnp.float32)
+    Us = _tri(bk, "upper_strict")
+    g0 = pl.program_id(0)
+
+    @pl.when(g0 == 0)
+    def _init():
+        dgfeat_ref[:] = jnp.zeros_like(dgfeat_ref)
+
+    def tile_body(i, _):
+        t = g0 * tb + i
+        start = starts_ref[t]
+        count = starts_ref[t + 1] - start
+        nch = (count + bk - 1) // bk
+        tx0 = ((t % tiles_x) * tile_px).astype(jnp.float32)
+        ty0 = ((t // tiles_x) * tile_px).astype(jnp.float32)
+        G = g_ref[i]          # [C, P]: 0-2 d_img, 3 = cot(T_fin)
+        logTfin = out_ref[i][4:5]  # [1, P]
+        Tfin_cot = G[3:4]     # [1, P]
+
+        def chunk_body(rci, carry):
+            ci = nch - 1 - rci
+            logR, S = carry   # suffix log-prod, suffix sum of (G.c) vis
+            off = start + ci * bk
+            g = gfeat_ref[pl.ds(off, bk), :]
+            gT = g.T
+            alpha, in_range, w, q, dx, dy, parts = _alpha_terms(
+                gT, tx0, ty0, X, Y, count, ci, bk, alpha_clip, alpha_min)
+            a, b, c, op = parts
+            col0, col1, col2 = gT[5][:, None], gT[6][:, None], gT[7][:, None]
+            l1m = jnp.log1p(-alpha)
+            # log T_k = logT_fin - (suffix within later chunks) - (suffix
+            # incl. self within this chunk); all exact sums, no division
+            suf_in_chunk = jax.lax.dot_general(
+                Us, l1m, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + l1m
+            logT_k = logTfin - logR - suf_in_chunk
+            T_k = jnp.exp(logT_k)
+            vis = alpha * T_k
+            gdotc = col0 * G[0] + col1 * G[1] + col2 * G[2]  # [BK, P]
+            gv = gdotc * vis
+            s_k = S + jax.lax.dot_general(
+                Us, gv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            inv1m = jnp.exp(-l1m)  # 1/(1-alpha), bounded by 1/(1-clip)
+            Tfin = jnp.exp(logTfin)
+            dalpha = gdotc * T_k - (s_k + Tfin_cot * Tfin) * inv1m
+            dalpha = jnp.where(in_range, dalpha, 0.0)
+            # alpha = op * w in range; w = exp(-0.5 q)
+            dop_kp = dalpha * w
+            dw = dalpha * op
+            dq = jnp.where(q > 0.0, -0.5 * w * dw, 0.0)
+            dqdx = dq * dx
+            dqdy = dq * dy
+            da = jnp.sum(dqdx * dx, axis=1)
+            db = 2.0 * jnp.sum(dqdx * dy, axis=1)
+            dc = jnp.sum(dqdy * dy, axis=1)
+            s_x = jnp.sum(dqdx, axis=1, keepdims=True)
+            s_y = jnp.sum(dqdy, axis=1, keepdims=True)
+            dgx = (-2.0 * a * s_x - 2.0 * b * s_y)[:, 0]
+            dgy = (-2.0 * b * s_x - 2.0 * c * s_y)[:, 0]
+            dop = jnp.sum(dop_kp, axis=1)
+            # dcol[c,k] = sum_p G[c,p] vis[k,p]
+            dcolT = jax.lax.dot_general(
+                G, vis, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # [C, BK]
+            z = jnp.zeros_like(da)
+            dgT = jnp.stack([dgx, dgy, da, db, dc,
+                             dcolT[0], dcolT[1], dcolT[2],
+                             dop, z, z, z, z, z, z, z], axis=0)  # [16, BK]
+            slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+            live = slot < count
+            dg = jnp.where(live, dgT.T, 0.0)
+            dgfeat_ref[pl.ds(off, bk), :] = (
+                dgfeat_ref[pl.ds(off, bk), :] + dg)
+            logR = logR + jnp.sum(l1m, axis=0, keepdims=True)
+            S = S + jnp.sum(gv, axis=0, keepdims=True)
+            return (logR, S)
+
+        jax.lax.fori_loop(
+            0, nch, chunk_body,
+            (jnp.zeros((1, P), jnp.float32), jnp.zeros((1, P), jnp.float32)))
+        return 0
+
+    jax.lax.fori_loop(0, tb, tile_body, 0)
+
+
+def _blend_fwd_pallas(static, starts, gfeat):
+    tile_px, TB, BK, tiles_x, T, interpret, H, W, I, a_clip, a_min = static
+    P = tile_px * tile_px
+    kern = functools.partial(_blend_fwd_kernel, tile_px=tile_px, tb=TB,
+                             bk=BK, tiles_x=tiles_x, alpha_clip=a_clip,
+                             alpha_min=a_min)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // TB,),
+        in_specs=[pl.BlockSpec((I + BK, _FW), lambda g, s: (0, 0))],
+        out_specs=pl.BlockSpec((TB, _C, P), lambda g, s: (g, 0, 0)),
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, _C, P), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=I * P * 3 * BK // max(BK, 1),
+            bytes_accessed=(I * _FW + T * _C * P) * 4,
+            transcendentals=2 * I * P,
+        ),
+    )(starts, gfeat)
+
+
+def _blend_bwd_pallas(static, starts, gfeat, out_tiled, g):
+    tile_px, TB, BK, tiles_x, T, interpret, H, W, I, a_clip, a_min = static
+    P = tile_px * tile_px
+    kern = functools.partial(_blend_bwd_kernel, tile_px=tile_px, tb=TB,
+                             bk=BK, tiles_x=tiles_x, alpha_clip=a_clip,
+                             alpha_min=a_min)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // TB,),
+        in_specs=[
+            pl.BlockSpec((I + BK, _FW), lambda g_, s: (0, 0)),
+            pl.BlockSpec((TB, _C, P), lambda g_, s: (g_, 0, 0)),
+            pl.BlockSpec((TB, _C, P), lambda g_, s: (g_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((I + BK, _FW), lambda g_, s: (0, 0)),
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((I + BK, _FW), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=I * P * 6 * BK // max(BK, 1),
+            bytes_accessed=(2 * I * _FW + 2 * T * _C * P) * 4,
+            transcendentals=4 * I * P,
+        ),
+    )(starts, gfeat, out_tiled, g)
+
+
+# ---------------------------------------------------------------------------
+# XLA glue + custom_vjp
+# ---------------------------------------------------------------------------
+
+
+def _pack_feat(xys, conics, colors, opac):
+    N = xys.shape[0]
+    return jnp.concatenate([
+        jnp.concatenate([
+            xys.astype(jnp.float32),
+            conics.astype(jnp.float32),
+            colors.astype(jnp.float32),
+            opac.reshape(N, 1).astype(jnp.float32),
+            jnp.zeros((N, _FW - 9), jnp.float32),
+        ], axis=1),
+        jnp.zeros((1, _FW), jnp.float32),
+    ], axis=0)
+
+
+def _untile(static, out_tiled):
+    tile_px = static[0]
+    H, W = static[6], static[7]
+    tp = tile_px
+    tiles_x = static[3]
+    tiles_y = -(-H // tp)
+    T_real = tiles_x * tiles_y
+    full = (out_tiled[:T_real]
+            .reshape(tiles_y, tiles_x, _C, tp, tp)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(_C, tiles_y * tp, tiles_x * tp))[:, :H, :W]
+    return full[:3].transpose(1, 2, 0), full[3]  # rgb (no bg), T_fin
+
+
+def _tile_cotangent(static, d_rgb, d_tfin):
+    tile_px = static[0]
+    TB = static[1]
+    tiles_x = static[3]
+    T = static[4]
+    H, W = static[6], static[7]
+    tp = tile_px
+    tiles_y = -(-H // tp)
+    T_real = tiles_x * tiles_y
+    Hp, Wp = tiles_y * tp, tiles_x * tp
+    buf = jnp.zeros((_C, Hp, Wp), jnp.float32)
+    buf = jax.lax.dynamic_update_slice(
+        buf, jnp.concatenate([d_rgb.transpose(2, 0, 1),
+                              d_tfin[None]], axis=0), (0, 0, 0))
+    G = (buf.reshape(_C, tiles_y, tp, tiles_x, tp)
+         .transpose(1, 3, 0, 2, 4)
+         .reshape(T_real, _C, tp * tp))
+    if T != T_real:
+        G = jnp.concatenate(
+            [G, jnp.zeros((T - T_real, _C, tp * tp), jnp.float32)], axis=0)
+    return G
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _blend(static, gids, starts, feat):
+    out, _ = _blend_fwd(static, gids, starts, feat)
+    return out
+
+
+def _gather_stream(static, gids, feat):
+    BK = static[2]
+    N = feat.shape[0] - 1
+    safe = jnp.concatenate([gids, jnp.full((BK,), N, jnp.int32)])
+    return feat[safe]
+
+
+def _blend_fwd(static, gids, starts, feat):
+    gfeat = _gather_stream(static, gids, feat)
+    out_tiled = _blend_fwd_pallas(static, starts, gfeat)
+    rgb, tfin = _untile(static, out_tiled)
+    return (rgb, tfin), (gids, starts, feat, out_tiled)
+
+
+def _blend_bwd(static, res, g):
+    gids, starts, feat, out_tiled = res
+    d_rgb, d_tfin = g
+    N = feat.shape[0] - 1
+    gfeat = _gather_stream(static, gids, feat)
+    G = _tile_cotangent(static, d_rgb.astype(jnp.float32),
+                        d_tfin.astype(jnp.float32))
+    dgfeat = _blend_bwd_pallas(static, starts, gfeat, out_tiled, G)
+    I = gids.shape[0]
+    safe = jnp.concatenate([gids, jnp.full((dgfeat.shape[0] - I,), N,
+                                           jnp.int32)])
+    dfeat = jnp.zeros_like(feat).at[safe].add(dgfeat)
+    dfeat = dfeat.at[N].set(0.0)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return f0(gids), f0(starts), dfeat
+
+
+_blend.defvjp(_blend_fwd, _blend_bwd)
 
 
 def rasterize_gaussians_blend(
@@ -44,8 +418,57 @@ def rasterize_gaussians_blend(
     background: Optional[jnp.ndarray] = None,
     config: BlendConfig = BlendConfig(),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
-    """Front-to-back alpha compositing. Returns (img [H,W,3], alpha [H,W],
-    aux). Differentiable w.r.t. xys/conics/colors/opacities."""
+    """Front-to-back alpha compositing (Pallas). Returns (img [H,W,3],
+    alpha [H,W], aux). Differentiable w.r.t. xys/conics/colors/opacities."""
+    cfg = config
+    N = xys.shape[0]
+    tp = cfg.tile_px
+    tiles_x, tiles_y = -(-W // tp), -(-H // tp)
+    T_real = tiles_x * tiles_y
+    TB = cfg.tiles_per_step
+    T = T_real + ((-T_real) % TB)
+    I = _auto_max_instances(N, cfg)
+    if background is None:
+        background = jnp.zeros((3,), jnp.float32)
+
+    order = jnp.argsort(jax.lax.stop_gradient(depths), stable=True)
+    order = order.astype(jnp.int32)
+    stream = bin_gaussian_instances(
+        jax.lax.stop_gradient(xys).astype(jnp.float32),
+        jax.lax.stop_gradient(radii).astype(jnp.float32),
+        tiles_x, tiles_y, tp, I, T,
+        max_tiles_per_gauss=cfg.max_tiles_per_gauss, order=order)
+
+    feat = _pack_feat(xys, conics, colors, opacities)
+    static = (tp, TB, cfg.block_inst, tiles_x, T, _use_interpret(cfg),
+              H, W, I, float(cfg.alpha_clip), float(cfg.alpha_min))
+    rgb, tfin = _blend(static, stream.gids, stream.starts, feat)
+    img = rgb + tfin[..., None] * background[None, None]
+    alpha = 1.0 - tfin
+
+    counts = stream.starts[1:T_real + 1] - stream.starts[:T_real]
+    aux = {"n_dropped": stream.n_dropped, "max_count": counts.max()}
+    return img, alpha, aux
+
+
+# ---------------------------------------------------------------------------
+# XLA oracle (exact autodiff through compositing) — used by tests
+# ---------------------------------------------------------------------------
+
+
+def rasterize_gaussians_blend_xla(
+    xys: jnp.ndarray,
+    depths: jnp.ndarray,
+    radii: jnp.ndarray,
+    conics: jnp.ndarray,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    H: int,
+    W: int,
+    background: Optional[jnp.ndarray] = None,
+    config: BlendConfig = BlendConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Pure-XLA compositing scan; autodiff gives exact gradients."""
     cfg = config
     tp = cfg.tile_px
     tiles_x, tiles_y = -(-W // tp), -(-H // tp)
@@ -58,8 +481,6 @@ def rasterize_gaussians_blend(
 
     order = jnp.argsort(jax.lax.stop_gradient(depths), stable=True)
     order = order.astype(jnp.int32)
-    # sort-based binning (ops/tiles.py); passing the depth order keeps each
-    # tile's index list depth-sorted, which the compositing scan requires
     bins = bin_gaussians_per_tile(
         jax.lax.stop_gradient(xys).astype(jnp.float32),
         jax.lax.stop_gradient(radii).astype(jnp.float32),

@@ -138,3 +138,46 @@ def test_gs3d_fit_smoke():
     p = np.asarray(psnrs)
     assert np.isfinite(p).all()
     assert p[-1] > p[0]
+
+
+def test_blend_pallas_grads_match_xla_oracle():
+    # Pallas blend (hand-written log-space backward) vs exact autodiff of
+    # the XLA compositing scan — forward and all four gradients.
+    from gaussianimage_tpu.ops.rasterize_blend import (
+        rasterize_gaussians_blend_xla)
+
+    rng = np.random.default_rng(11)
+    N, H, W = 120, 32, 48
+    xys = jnp.asarray(rng.uniform(-4, 52, (N, 2)).astype(np.float32))
+    s2 = rng.uniform(0.05, 0.6, N).astype(np.float32)
+    b = (0.3 * s2 * rng.uniform(-1, 1, N)).astype(np.float32)
+    conics = jnp.asarray(np.stack([s2, b, s2], -1))
+    colors = jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.1, 0.95, (N,)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(1, 10, N).astype(np.float32))
+    radii = jnp.full((N,), 14.0)
+    bg = jnp.asarray([0.2, 0.5, 0.8], jnp.float32)
+
+    def loss(fn, args):
+        xys, conics, colors, opac = args
+        img, alpha, _ = fn(xys, depths, radii, conics, colors, opac, H, W,
+                           background=bg, config=BlendConfig())
+        return jnp.sum(img ** 2) + 0.3 * jnp.sum(alpha ** 2)
+
+    args = (xys, conics, colors, opac)
+    img_p, alpha_p, _ = rasterize_gaussians_blend(
+        xys, depths, radii, conics, colors, opac, H, W, background=bg)
+    img_x, alpha_x, _ = rasterize_gaussians_blend_xla(
+        xys, depths, radii, conics, colors, opac, H, W, background=bg)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha_p), np.asarray(alpha_x),
+                               rtol=1e-4, atol=1e-5)
+
+    gp = jax.grad(lambda a: loss(rasterize_gaussians_blend, a))(args)
+    gx = jax.grad(lambda a: loss(rasterize_gaussians_blend_xla, a))(args)
+    for a, b_, name in zip(gp, gx, ("xys", "conics", "colors", "opac")):
+        scale = max(float(jnp.abs(b_).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b_) / scale,
+            rtol=5e-4, atol=5e-5, err_msg=name)
