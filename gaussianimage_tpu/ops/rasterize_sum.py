@@ -175,6 +175,11 @@ def _bwd_kernel(starts_ref, gfeat_ref, g_ref, dgfeat_ref,
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     X = (pidx % tile_px).astype(jnp.float32)
     Y = (pidx // tile_px).astype(jnp.float32)
+    # shared pixel-moment basis: one MXU contraction replaces five
+    # per-instance lane reductions (sum_p dq * {1, x, y, x^2, xy, y^2})
+    phi_m = jnp.concatenate(
+        [jnp.ones_like(X), X, Y, X * X, X * Y, Y * Y,
+         jnp.zeros_like(X), jnp.zeros_like(X)], axis=0)  # [8, P]
     g0 = pl.program_id(0)
 
     @pl.when(g0 == 0)

@@ -1,0 +1,46 @@
+"""Golden-metric integration test (SURVEY.md §4): a fixed-seed fit of the
+flagship model on a synthetic image must reach an absolute PSNR. Guards the
+whole pipeline (projection -> binning -> Pallas kernels -> analytic VJP ->
+Adan -> schedule) against silent quality regressions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianimage_tpu.models import make_model
+from gaussianimage_tpu.utils.image_io import synthetic_image
+
+
+def test_flagship_fit_reaches_golden_psnr():
+    H, W, N = 64, 96, 768
+    model = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W)
+    gt = jnp.asarray(synthetic_image(H, W, seed=0))
+    state = model.init_state(jax.random.PRNGKey(1))
+    chunk = jax.jit(lambda st, s: model.train_chunk(st, gt, None, s, 250))
+    it = 0
+    psnrs = None
+    for _ in range(4):
+        state, losses, psnrs = chunk(state, jnp.asarray(it + 1))
+        it += 250
+    final = float(np.asarray(psnrs)[-1])
+    # calibrated: ~34 dB on CPU f32 at 1000 iters; assert with margin
+    assert final > 30.0, f"golden PSNR regression: {final:.2f} dB"
+
+
+def test_rs_fit_improves_matching_cholesky_ballpark():
+    H, W, N = 64, 96, 768
+    gt = jnp.asarray(synthetic_image(H, W, seed=0))
+    finals = {}
+    for name in ("GaussianImage_Cholesky", "GaussianImage_RS"):
+        model = make_model(name, num_points=N, H=H, W=W)
+        state = model.init_state(jax.random.PRNGKey(1))
+        chunk = jax.jit(lambda st, s, m=model: m.train_chunk(st, gt, None, s, 250))
+        psnrs = None
+        it = 0
+        for _ in range(2):
+            state, losses, psnrs = chunk(state, jnp.asarray(it + 1))
+            it += 250
+        finals[name] = float(np.asarray(psnrs)[-1])
+    # the two covariance parameterizations represent the same family
+    assert abs(finals["GaussianImage_Cholesky"] - finals["GaussianImage_RS"]) < 6.0, finals
+    assert min(finals.values()) > 22.0, finals
