@@ -76,6 +76,31 @@ def main():
     _ = np.asarray(losses[-1])
     fit_iters_per_s = 500 / (time.time() - t0)
 
+    # decode throughput: quantize the fitted scene on the fly and time the
+    # codec decode path (dequantize + project + rasterize), the reference's
+    # "~2000 FPS" headline (README.md:30)
+    qmodel = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                        quantize=True)
+    qstate = qmodel.init_state(jax.random.PRNGKey(2))
+    qparams = dict(qstate.params)
+    for k, v in state.params.items():
+        qparams[k] = v
+    qstate = qstate._replace(params=qparams)
+    qstate = qmodel.init_quantizer_data(qstate)
+    qchunk = jax.jit(lambda st, g, s: qmodel.train_chunk(st, g, None, s, 200),
+                     donate_argnums=(0,))
+    qstate, _, _ = qchunk(qstate, gt, jnp.asarray(1))
+    enc = jax.device_put(qmodel.compress_wo_ec(qstate.params, qstate.extra))
+    dec = jax.jit(lambda e: qmodel.decompress_wo_ec(
+        qstate.params, qstate.extra, e)["render"])
+    out = dec(enc)
+    out.block_until_ready()
+    t0 = time.time()
+    for _ in range(200):
+        out = dec(enc)
+    out.block_until_ready()
+    decode_ms = (time.time() - t0) / 200 * 1e3
+
     psnr_fit = float(np.asarray(psnrs)[-1])
 
     baseline_fps = 2000.0  # reference README headline (V100)
@@ -87,6 +112,7 @@ def main():
         "extra": {"fit_psnr_at_2k_iters": round(psnr_fit, 2),
                   "ms_per_frame": round(dt * 1e3, 3),
                   "fit_iters_per_s": round(fit_iters_per_s, 1),
+                  "decode_fps": round(1e3 / decode_ms, 1),
                   "backend": jax.default_backend()},
     }))
 
