@@ -26,15 +26,14 @@ Two implementations:
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gaussianimage_tpu.ops import stream_common as sc
 from gaussianimage_tpu.ops.tiles import bin_gaussian_instances, bin_gaussians_per_tile
 
 _C = 8   # padded channels: rgb + T_fin + logT_fin + 3 pad
@@ -45,7 +44,7 @@ class BlendConfig(NamedTuple):
     tile_px: int = 16
     tiles_per_step: int = 8      # tiles per kernel grid step
     block_inst: int = 64         # instances per inner chunk (BK)
-    max_tiles_per_gauss: int = 25
+    max_tiles_per_gauss: int = 64  # 3DGS gaussians can span 8x8 tiles at 16px
     max_instances: Optional[int] = None  # stream cap (None -> auto from N)
     alpha_clip: float = 0.999
     alpha_min: float = 1.0 / 255.0
@@ -53,20 +52,6 @@ class BlendConfig(NamedTuple):
     # XLA-oracle knobs (rasterize_gaussians_blend_xla only)
     max_per_tile: int = 256
     tile_chunk: int = 32
-
-
-def _use_interpret(cfg: BlendConfig) -> bool:
-    if cfg.interpret is not None:
-        return cfg.interpret
-    if os.environ.get("GITPU_PALLAS_INTERPRET") == "1":
-        return True
-    return jax.default_backend() not in ("tpu",)
-
-
-def _auto_max_instances(n: int, cfg: BlendConfig) -> int:
-    cap = cfg.max_instances if cfg.max_instances is not None else max(4 * n, 16384)
-    cap = min(cap, n * cfg.max_tiles_per_gauss)
-    return -(-cap // cfg.block_inst) * cfg.block_inst
 
 
 # ---------------------------------------------------------------------------
@@ -315,92 +300,35 @@ def _blend_bwd_pallas(static, starts, gfeat, out_tiled, g):
 # ---------------------------------------------------------------------------
 
 
-def _pack_feat(xys, conics, colors, opac):
-    N = xys.shape[0]
-    return jnp.concatenate([
-        jnp.concatenate([
-            xys.astype(jnp.float32),
-            conics.astype(jnp.float32),
-            colors.astype(jnp.float32),
-            opac.reshape(N, 1).astype(jnp.float32),
-            jnp.zeros((N, _FW - 9), jnp.float32),
-        ], axis=1),
-        jnp.zeros((1, _FW), jnp.float32),
-    ], axis=0)
-
-
-def _untile(static, out_tiled):
-    tile_px = static[0]
-    H, W = static[6], static[7]
-    tp = tile_px
-    tiles_x = static[3]
-    tiles_y = -(-H // tp)
-    T_real = tiles_x * tiles_y
-    full = (out_tiled[:T_real]
-            .reshape(tiles_y, tiles_x, _C, tp, tp)
-            .transpose(2, 0, 3, 1, 4)
-            .reshape(_C, tiles_y * tp, tiles_x * tp))[:, :H, :W]
-    return full[:3].transpose(1, 2, 0), full[3]  # rgb (no bg), T_fin
-
-
-def _tile_cotangent(static, d_rgb, d_tfin):
-    tile_px = static[0]
-    TB = static[1]
-    tiles_x = static[3]
-    T = static[4]
-    H, W = static[6], static[7]
-    tp = tile_px
-    tiles_y = -(-H // tp)
-    T_real = tiles_x * tiles_y
-    Hp, Wp = tiles_y * tp, tiles_x * tp
-    buf = jnp.zeros((_C, Hp, Wp), jnp.float32)
-    buf = jax.lax.dynamic_update_slice(
-        buf, jnp.concatenate([d_rgb.transpose(2, 0, 1),
-                              d_tfin[None]], axis=0), (0, 0, 0))
-    G = (buf.reshape(_C, tiles_y, tp, tiles_x, tp)
-         .transpose(1, 3, 0, 2, 4)
-         .reshape(T_real, _C, tp * tp))
-    if T != T_real:
-        G = jnp.concatenate(
-            [G, jnp.zeros((T - T_real, _C, tp * tp), jnp.float32)], axis=0)
-    return G
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _blend(static, gids, starts, feat):
     out, _ = _blend_fwd(static, gids, starts, feat)
     return out
 
 
-def _gather_stream(static, gids, feat):
-    BK = static[2]
-    N = feat.shape[0] - 1
-    safe = jnp.concatenate([gids, jnp.full((BK,), N, jnp.int32)])
-    return feat[safe]
-
-
 def _blend_fwd(static, gids, starts, feat):
-    gfeat = _gather_stream(static, gids, feat)
+    tile_px, TB, BK, tiles_x, T = static[0], static[1], static[2], static[3], static[4]
+    H, W = static[6], static[7]
+    gfeat = sc.gather_stream(gids, feat, BK)
     out_tiled = _blend_fwd_pallas(static, starts, gfeat)
-    rgb, tfin = _untile(static, out_tiled)
+    full = sc.untile_channels(out_tiled, tile_px, tiles_x, H, W)
+    rgb, tfin = full[:3].transpose(1, 2, 0), full[3]
     return (rgb, tfin), (gids, starts, feat, out_tiled)
 
 
 def _blend_bwd(static, res, g):
+    tile_px, TB, BK, tiles_x, T = static[0], static[1], static[2], static[3], static[4]
+    H, W = static[6], static[7]
     gids, starts, feat, out_tiled = res
     d_rgb, d_tfin = g
-    N = feat.shape[0] - 1
-    gfeat = _gather_stream(static, gids, feat)
-    G = _tile_cotangent(static, d_rgb.astype(jnp.float32),
-                        d_tfin.astype(jnp.float32))
+    gfeat = sc.gather_stream(gids, feat, BK)
+    G = sc.tile_cotangent(
+        jnp.concatenate([d_rgb.astype(jnp.float32).transpose(2, 0, 1),
+                         d_tfin.astype(jnp.float32)[None]], axis=0),
+        tile_px, tiles_x, T, H, W)
     dgfeat = _blend_bwd_pallas(static, starts, gfeat, out_tiled, G)
-    I = gids.shape[0]
-    safe = jnp.concatenate([gids, jnp.full((dgfeat.shape[0] - I,), N,
-                                           jnp.int32)])
-    dfeat = jnp.zeros_like(feat).at[safe].add(dgfeat)
-    dfeat = dfeat.at[N].set(0.0)
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return f0(gids), f0(starts), dfeat
+    dfeat = sc.scatter_stream_grads(dgfeat, gids, feat)
+    return sc.float0_like(gids), sc.float0_like(starts), dfeat
 
 
 _blend.defvjp(_blend_fwd, _blend_bwd)
@@ -427,7 +355,7 @@ def rasterize_gaussians_blend(
     T_real = tiles_x * tiles_y
     TB = cfg.tiles_per_step
     T = T_real + ((-T_real) % TB)
-    I = _auto_max_instances(N, cfg)
+    I = sc.auto_max_instances(N, cfg)
     if background is None:
         background = jnp.zeros((3,), jnp.float32)
 
@@ -439,8 +367,8 @@ def rasterize_gaussians_blend(
         tiles_x, tiles_y, tp, I, T,
         max_tiles_per_gauss=cfg.max_tiles_per_gauss, order=order)
 
-    feat = _pack_feat(xys, conics, colors, opacities)
-    static = (tp, TB, cfg.block_inst, tiles_x, T, _use_interpret(cfg),
+    feat = sc.pack_feat(xys, conics, colors, opacities)
+    static = (tp, TB, cfg.block_inst, tiles_x, T, sc.use_interpret(cfg),
               H, W, I, float(cfg.alpha_clip), float(cfg.alpha_min))
     rgb, tfin = _blend(static, stream.gids, stream.starts, feat)
     img = rgb + tfin[..., None] * background[None, None]

@@ -47,15 +47,14 @@ accumulated alpha map for free; the image is produced in tiled layout
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gaussianimage_tpu.ops import stream_common as sc
 from gaussianimage_tpu.ops.tiles import bin_gaussian_instances
 
 _C = 8   # padded channel count: rgb + alpha + 4 pad (sublane-aligned)
@@ -72,26 +71,6 @@ class RasterizeConfig(NamedTuple):
     max_tiles_per_gauss: int = 25  # per-gaussian binning instance cap
     max_instances: Optional[int] = None  # stream cap (None -> auto from N)
     interpret: Optional[bool] = None  # None => interpret iff not on TPU
-
-
-def _use_interpret(cfg: RasterizeConfig) -> bool:
-    if cfg.interpret is not None:
-        return cfg.interpret
-    if os.environ.get("GITPU_PALLAS_INTERPRET") == "1":
-        return True
-    return jax.default_backend() not in ("tpu",)
-
-
-def _auto_max_instances(n: int, cfg: RasterizeConfig) -> int:
-    if cfg.max_instances is not None:
-        cap = cfg.max_instances
-    else:
-        # fitted scenes average ~1-2 tiles/gaussian at 32px tiles; 4x
-        # headroom, floor 16k (overflow is reported in aux["n_dropped"])
-        cap = max(4 * n, 16384)
-    cap = min(cap, n * cfg.max_tiles_per_gauss)
-    bk = cfg.block_inst
-    return -(-cap // bk) * bk  # round up to BK
 
 
 # ---------------------------------------------------------------------------
@@ -213,19 +192,23 @@ def _bwd_kernel(starts_ref, gfeat_ref, g_ref, dgfeat_ref,
             dw = (cmT[0][:, None] * G[0] + cmT[1][:, None] * G[1]
                   + cmT[2][:, None] * G[2] + cmT[3][:, None] * G[3])
             dq = (-0.5) * w * dw  # cutoff + live already folded into w
-            # row reductions over P (VPU) replace the dpsi matmul
-            dqdx = dq * dx
-            dqdy = dq * dy
-            s_xx = jnp.sum(dqdx * dx, axis=1, keepdims=True)   # [BK,1]
-            s_xy = jnp.sum(dqdx * dy, axis=1, keepdims=True)
-            s_yy = jnp.sum(dqdy * dy, axis=1, keepdims=True)
-            s_x = jnp.sum(dqdx, axis=1, keepdims=True)
-            s_y = jnp.sum(dqdy, axis=1, keepdims=True)
-            da = s_xx[:, 0]
-            db = 2.0 * s_xy[:, 0]
-            dc = s_yy[:, 0]
-            dgx = (-2.0 * a * s_x - 2.0 * b * s_y)[:, 0]
-            dgy = (-2.0 * b * s_x - 2.0 * c * s_y)[:, 0]
+            # pixel moments of dq via ONE MXU contraction against phi_m,
+            # recombined per instance (tile-local centers keep the
+            # recombination cancellation-safe in f32)
+            m = jax.lax.dot_general(
+                dq, phi_m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).T  # [8, BK]
+            m0, mx, my, mxx, mxy, myy = m[0], m[1], m[2], m[3], m[4], m[5]
+            gxv, gyv = gx[:, 0], gy[:, 0]
+            av, bv, cv = a[:, 0], b[:, 0], c[:, 0]
+            cx = mx - gxv * m0   # sum_p dq * (x - gx)
+            cy = my - gyv * m0
+            da = mxx - 2.0 * gxv * mx + gxv * gxv * m0
+            db = 2.0 * (mxy - gxv * my - gyv * mx + gxv * gyv * m0)
+            dc = myy - 2.0 * gyv * my + gyv * gyv * m0
+            dgx = -2.0 * av * cx - 2.0 * bv * cy
+            dgy = -2.0 * bv * cx - 2.0 * cv * cy
             # dcm[c,k] = sum_p G[c,p] w[k,p] (contraction over P -> MXU)
             dcmT = jax.lax.dot_general(
                 G, w, (((1,), (1,)), ((), ())),
@@ -312,92 +295,32 @@ def _bwd_pallas(static, starts, gfeat, g):
 # ---------------------------------------------------------------------------
 
 
-def _pack_feat(xys, conics, colors, opac):
-    """[N+1, 16] packed rows; the zero row at N absorbs dead-slot reads."""
-    N = xys.shape[0]
-    return jnp.concatenate([
-        jnp.concatenate([
-            xys.astype(jnp.float32),
-            conics.astype(jnp.float32),
-            colors.astype(jnp.float32),
-            opac.reshape(N, 1).astype(jnp.float32),
-            jnp.zeros((N, _FW - 9), jnp.float32),
-        ], axis=1),
-        jnp.zeros((1, _FW), jnp.float32),
-    ], axis=0)
-
-
-def _untile(static, out_tiled):
-    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
-    tp = tile_px
-    tiles_y = -(-H // tp)
-    T_real = tiles_x * tiles_y
-    img_full = (out_tiled[:T_real]
-                .reshape(tiles_y, tiles_x, _C, tp, tp)
-                .transpose(2, 0, 3, 1, 4)
-                .reshape(_C, tiles_y * tp, tiles_x * tp))[:, :H, :W]
-    return img_full[:3].transpose(1, 2, 0), img_full[3]  # [H,W,3], [H,W]
-
-
-def _tile_cotangent(static, d_img, d_alpha):
-    """Inverse of _untile: scatter (d_img, d_alpha) into [T, 8, P] tiles."""
-    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
-    tp = tile_px
-    tiles_y = -(-H // tp)
-    T_real = tiles_x * tiles_y
-    Hp, Wp = tiles_y * tp, tiles_x * tp
-    buf = jnp.zeros((_C, Hp, Wp), jnp.float32)
-    buf = jax.lax.dynamic_update_slice(
-        buf, jnp.concatenate([d_img.transpose(2, 0, 1),
-                              d_alpha[None]], axis=0), (0, 0, 0))
-    G = (buf.reshape(_C, tiles_y, tp, tiles_x, tp)
-         .transpose(1, 3, 0, 2, 4)
-         .reshape(T_real, _C, tp * tp))
-    if T != T_real:
-        G = jnp.concatenate(
-            [G, jnp.zeros((T - T_real, _C, tp * tp), jnp.float32)], axis=0)
-    return G
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _raster(static, gids, starts, feat):
     out, _ = _raster_fwd(static, gids, starts, feat)
     return out
 
 
-def _gather_stream(static, gids, feat):
-    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
-    N = feat.shape[0] - 1
-    # pad the stream by BK rows so the kernel's fixed-size dynamic slices
-    # never clamp (a clamped pl.ds start would shift the window)
-    safe = jnp.concatenate([gids, jnp.full((BK,), N, jnp.int32)])
-    return feat[safe]  # [I + BK, 16] — one wide row gather
-
-
 def _raster_fwd(static, gids, starts, feat):
-    gfeat = _gather_stream(static, gids, feat)
+    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
+    gfeat = sc.gather_stream(gids, feat, BK)
     out_tiled = _fwd_pallas(static, starts, gfeat)
-    img, alpha = _untile(static, out_tiled)
+    full = sc.untile_channels(out_tiled, tile_px, tiles_x, H, W)
+    img, alpha = full[:3].transpose(1, 2, 0), full[3]
     return (img, alpha), (gids, starts, feat)
 
 
 def _raster_bwd(static, res, g):
+    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
     gids, starts, feat = res
     d_img, d_alpha = g
-    N = feat.shape[0] - 1
-    gfeat = _gather_stream(static, gids, feat)  # cheap recompute
-    G = _tile_cotangent(static, d_img.astype(jnp.float32),
-                        d_alpha.astype(jnp.float32))
+    gfeat = sc.gather_stream(gids, feat, BK)  # cheap recompute
+    G = sc.tile_cotangent(
+        jnp.concatenate([d_img.transpose(2, 0, 1), d_alpha[None]], axis=0),
+        tile_px, tiles_x, T, H, W)
     dgfeat = _bwd_pallas(static, starts, gfeat, G)  # [I + BK, 16]
-    I = gids.shape[0]
-    safe = jnp.concatenate([gids, jnp.full((dgfeat.shape[0] - I,), N,
-                                           jnp.int32)])
-    # deterministic segment-sum onto the N gaussians; row N collects dead
-    # slots and is dropped
-    dfeat = jnp.zeros_like(feat).at[safe].add(dgfeat)
-    dfeat = dfeat.at[N].set(0.0)
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return f0(gids), f0(starts), dfeat
+    dfeat = sc.scatter_stream_grads(dgfeat, gids, feat)
+    return sc.float0_like(gids), sc.float0_like(starts), dfeat
 
 
 _raster.defvjp(_raster_fwd, _raster_bwd)
@@ -444,7 +367,7 @@ def rasterize_gaussians_sum(
     T_real = tiles_x * tiles_y
     TB = cfg.tiles_per_step
     T = T_real + ((-T_real) % TB)
-    I = _auto_max_instances(N, cfg)
+    I = sc.auto_max_instances(N, cfg)
 
     if radii is None:
         radii = _radii_from_conics(jax.lax.stop_gradient(conics))
@@ -455,9 +378,9 @@ def rasterize_gaussians_sum(
         tiles_x, tiles_y, tp, I, T,
         max_tiles_per_gauss=cfg.max_tiles_per_gauss)
 
-    feat = _pack_feat(xys, conics, colors, opacities)
+    feat = sc.pack_feat(xys, conics, colors, opacities)
     static = (tp, TB, cfg.block_inst, float(cfg.q_cut), tiles_x, T,
-              _use_interpret(cfg), H, W, I)
+              sc.use_interpret(cfg), H, W, I)
     img, alpha = _raster(static, stream.gids, stream.starts, feat)
 
     counts = stream.starts[1:T_real + 1] - stream.starts[:T_real]

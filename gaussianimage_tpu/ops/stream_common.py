@@ -1,0 +1,104 @@
+"""Shared glue for the instance-stream Pallas rasterizers
+(ops/rasterize_sum.py and ops/rasterize_blend.py): packed feature rows,
+stream gather/scatter, tiled-layout <-> image conversions. Kept in one place
+so a fix to the feature layout or the segment-scatter epilogue applies to
+both kernels."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+C = 8    # padded channel count in the tiled kernel output (sublane-aligned)
+FW = 16  # packed per-gaussian feature width (9 used + 7 pad, lane-friendly)
+
+
+def use_interpret(cfg) -> bool:
+    """cfg.interpret tri-state: None => interpret iff not running on TPU."""
+    if cfg.interpret is not None:
+        return cfg.interpret
+    if os.environ.get("GITPU_PALLAS_INTERPRET") == "1":
+        return True
+    return jax.default_backend() not in ("tpu",)
+
+
+def auto_max_instances(n: int, cfg) -> int:
+    """Instance-stream capacity: explicit cfg.max_instances or 4N headroom
+    (fitted scenes average ~1-2 tiles/gaussian at 32px tiles; overflow is
+    counted in aux['n_dropped']); rounded up to the chunk size."""
+    cap = cfg.max_instances if cfg.max_instances is not None else max(4 * n, 16384)
+    cap = min(cap, n * cfg.max_tiles_per_gauss)
+    return -(-cap // cfg.block_inst) * cfg.block_inst
+
+
+def pack_feat(xys, conics, colors, opac):
+    """[N+1, 16] rows (xy, conic a b c, rgb, opacity, pad); the zero row at
+    index N absorbs dead-slot reads and dead-slot gradient scatters."""
+    N = xys.shape[0]
+    return jnp.concatenate([
+        jnp.concatenate([
+            xys.astype(jnp.float32),
+            conics.astype(jnp.float32),
+            colors.astype(jnp.float32),
+            opac.reshape(N, 1).astype(jnp.float32),
+            jnp.zeros((N, FW - 9), jnp.float32),
+        ], axis=1),
+        jnp.zeros((1, FW), jnp.float32),
+    ], axis=0)
+
+
+def gather_stream(gids, feat, bk: int):
+    """[I + BK, 16] feature rows in stream order; BK padding rows keep the
+    kernel's fixed-size dynamic slices in bounds (a clamped pl.ds start
+    would silently shift the window)."""
+    N = feat.shape[0] - 1
+    safe = jnp.concatenate([gids, jnp.full((bk,), N, jnp.int32)])
+    return feat[safe]
+
+
+def scatter_stream_grads(dgfeat, gids, feat):
+    """Per-instance gradient rows -> per-gaussian sums: one deterministic
+    segment scatter-add (the TPU replacement for CUDA atomicAdd). Returns
+    the cotangent for ``feat`` (row N, the dead-slot sink, zeroed)."""
+    N = feat.shape[0] - 1
+    I = gids.shape[0]
+    safe = jnp.concatenate([gids, jnp.full((dgfeat.shape[0] - I,), N,
+                                           jnp.int32)])
+    dfeat = jnp.zeros_like(feat).at[safe].add(dgfeat)
+    return dfeat.at[N].set(0.0)
+
+
+def float0_like(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def untile_channels(out_tiled, tile_px: int, tiles_x: int, H: int, W: int):
+    """[T, C, P] tile blocks -> [C, H, W] image channels (crop padding)."""
+    tp = tile_px
+    tiles_y = -(-H // tp)
+    T_real = tiles_x * tiles_y
+    return (out_tiled[:T_real]
+            .reshape(tiles_y, tiles_x, C, tp, tp)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(C, tiles_y * tp, tiles_x * tp))[:, :H, :W]
+
+
+def tile_cotangent(chans, tile_px: int, tiles_x: int, T: int, H: int, W: int):
+    """[k<=C, H, W] cotangent channels -> [T, C, P] tile blocks (zero pad)."""
+    tp = tile_px
+    tiles_y = -(-H // tp)
+    T_real = tiles_x * tiles_y
+    Hp, Wp = tiles_y * tp, tiles_x * tp
+    buf = jnp.zeros((C, Hp, Wp), jnp.float32)
+    buf = jax.lax.dynamic_update_slice(buf, chans.astype(jnp.float32),
+                                       (0, 0, 0))
+    G = (buf.reshape(C, tiles_y, tp, tiles_x, tp)
+         .transpose(1, 3, 0, 2, 4)
+         .reshape(T_real, C, tp * tp))
+    if T != T_real:
+        G = jnp.concatenate(
+            [G, jnp.zeros((T - T_real, C, tp * tp), jnp.float32)], axis=0)
+    return G

@@ -110,11 +110,13 @@ class SimpleTrainer2d:
         key = self.key
         profile_dir = self.profile_dir
         while it < self.iterations:
-            if profile_dir and it == self.chunk_size:
+            if profile_dir and (it == self.chunk_size
+                                or (it == 0 and self.iterations <= self.chunk_size)):
+                profile_dir, this_dir = None, profile_dir
                 # trace the second chunk (first is compile) + a few renders;
                 # device-side op durations in the trace are the only honest
                 # timings on the axon runtime (see .claude/skills/verify)
-                with jax.profiler.trace(str(profile_dir)):
+                with jax.profiler.trace(str(this_dir)):
                     key, sub = jax.random.split(key)
                     self.state, losses, psnrs = self._chunk_fn(
                         self.state, self.gt_image, sub, jnp.asarray(it + 1))
@@ -129,7 +131,7 @@ class SimpleTrainer2d:
                 psnr_list.extend(psnrs[:n].tolist())
                 iter_list.extend(range(it + 1, it + n + 1))
                 it += n
-                self.logwriter.write(f"profiler trace written to {profile_dir}")
+                self.logwriter.write(f"profiler trace written to {this_dir}")
                 continue
             key, sub = jax.random.split(key)
             self.state, losses, psnrs = self._chunk_fn(
@@ -176,6 +178,16 @@ class SimpleTrainer2d:
                 1 / test_end_time)
 
     def test(self):
+        # surface binning overflow: truncated instance streams silently cut
+        # gaussian coverage, so warn loudly if the fitted scene overflows
+        full = jax.jit(lambda p: self.model.render(
+            p, iteration=jnp.asarray(1 << 30)))(self.state.params)
+        aux = full.get("raster_aux", {})
+        if aux and int(np.asarray(aux.get("n_dropped", 0))) > 0:
+            self.logwriter.write(
+                "WARNING: rasterizer dropped {} gaussian-tile instances "
+                "(raise RasterizeConfig.max_instances / max_tiles_per_gauss)"
+                .format(int(np.asarray(aux["n_dropped"]))))
         out = self._render_fn(self.state.params)
         mse = float(jnp.mean((out.astype(jnp.float32)
                               - self.gt_image.astype(jnp.float32)) ** 2))

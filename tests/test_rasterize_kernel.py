@@ -88,7 +88,7 @@ def test_jit_and_config_invariance():
 
     img = render(xys, conics, colors, opac)
     # different tiling configs must produce the same image
-    cfg2 = CFG._replace(tile_px=32, tiles_per_step=2, block_inst=32)
+    cfg2 = CFG._replace(tile_px=16, tiles_per_step=2, block_inst=32)
     img2, _, _ = rasterize_gaussians_sum(xys, conics, colors, opac, H, W,
                                          radii=radii, config=cfg2)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img2),
