@@ -55,7 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gaussianimage_tpu.ops import stream_common as sc
-from gaussianimage_tpu.ops.tiles import bin_gaussian_instances
+from gaussianimage_tpu.ops.tiles import bin_gaussian_instances, bin_instances_aligned
 
 _C = 8   # padded channel count: rgb + alpha + 4 pad (sublane-aligned)
 _F = 8   # quadratic-form feature count (6 used + 2 pad)
@@ -70,6 +70,10 @@ class RasterizeConfig(NamedTuple):
     q_cut: float = 9.0       # mahalanobis cutoff (3 sigma)
     max_tiles_per_gauss: int = 25  # per-gaussian binning instance cap
     max_instances: Optional[int] = None  # stream cap (None -> auto from N)
+    flat_stream_limit: int = 65536  # use the flat [I,16] stream below this
+    #   many instances (fastest glue); larger scenes switch to BK-aligned
+    #   transposed blocks whose VMEM footprint is exact (the flat layout
+    #   pads 16 -> 128 lanes, 8x, and stops fitting around ~50k gaussians)
     interpret: Optional[bool] = None  # None => interpret iff not on TPU
 
 
@@ -104,8 +108,15 @@ def _tile_origin(t, tiles_x, tile_px):
     return tx0, ty0
 
 
-def _fwd_kernel(starts_ref, gfeat_ref, out_ref,
-                *, tile_px, tb, bk, q_cut, tiles_x):
+def _read_chunk(gfeat_ref, blk0, ci, off, bk, aligned):
+    """One chunk of packed features as [16, BK] rows."""
+    if aligned:
+        return gfeat_ref[blk0 + ci]            # [NB, 16, BK] block
+    return gfeat_ref[pl.ds(off, bk), :].T      # flat [I+BK, 16] rows
+
+
+def _fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
+                *, tile_px, tb, bk, q_cut, tiles_x, aligned):
     P = tile_px * tile_px
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     X = (pidx % tile_px).astype(jnp.float32)  # [1, P] tile-local pixel x
@@ -115,14 +126,14 @@ def _fwd_kernel(starts_ref, gfeat_ref, out_ref,
     def tile_body(i, _):
         t = g0 * tb + i
         start = starts_ref[t]
-        count = starts_ref[t + 1] - start
+        blk0 = start // bk
+        count = counts_ref[t]
         nch = (count + bk - 1) // bk
         tx0, ty0 = _tile_origin(t, tiles_x, tile_px)
 
         def chunk_body(ci, acc):
-            off = start + ci * bk
-            g = gfeat_ref[pl.ds(off, bk), :]  # [BK, 16]
-            gT = g.T
+            gT = _read_chunk(gfeat_ref, blk0, ci, start + ci * bk, bk,
+                             aligned)
             gx = (gT[0] - tx0)[:, None]  # [BK, 1] tile-local centers
             gy = (gT[1] - ty0)[:, None]
             a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
@@ -148,8 +159,8 @@ def _fwd_kernel(starts_ref, gfeat_ref, out_ref,
     jax.lax.fori_loop(0, tb, tile_body, 0)
 
 
-def _bwd_kernel(starts_ref, gfeat_ref, g_ref, dgfeat_ref,
-                *, tile_px, tb, bk, q_cut, tiles_x):
+def _bwd_kernel(starts_ref, counts_ref, gfeat_ref, g_ref, dgfeat_ref,
+                *, tile_px, tb, bk, q_cut, tiles_x, aligned):
     P = tile_px * tile_px
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     X = (pidx % tile_px).astype(jnp.float32)
@@ -168,15 +179,15 @@ def _bwd_kernel(starts_ref, gfeat_ref, g_ref, dgfeat_ref,
     def tile_body(i, _):
         t = g0 * tb + i
         start = starts_ref[t]
-        count = starts_ref[t + 1] - start
+        blk0 = start // bk
+        count = counts_ref[t]
         nch = (count + bk - 1) // bk
         tx0, ty0 = _tile_origin(t, tiles_x, tile_px)
         G = g_ref[i]  # [C, P]
 
         def chunk_body(ci, _):
             off = start + ci * bk
-            g = gfeat_ref[pl.ds(off, bk), :]  # [BK, 16]
-            gT = g.T
+            gT = _read_chunk(gfeat_ref, blk0, ci, off, bk, aligned)
             gx = (gT[0] - tx0)[:, None]
             gy = (gT[1] - ty0)[:, None]
             a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
@@ -222,11 +233,18 @@ def _bwd_kernel(starts_ref, gfeat_ref, g_ref, dgfeat_ref,
             z = jnp.zeros_like(da)
             dgT = jnp.stack([dgx, dgy, da, db, dc, dcol0, dcol1, dcol2,
                              dop, z, z, z, z, z, z, z], axis=0)  # [16, BK]
-            dg = jnp.where(live, dgT.T, 0.0)  # [BK, 16]
-            # += : a tile's last chunk overlaps the NEXT tile's window; the
-            # masked add keeps neighbours intact (sequential grid => safe)
-            dgfeat_ref[pl.ds(off, bk), :] = (
-                dgfeat_ref[pl.ds(off, bk), :] + dg)
+            live_row = (ci * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, bk), 1)) < count
+            if aligned:
+                # aligned windows: each block belongs to exactly one tile —
+                # a plain full-block store is collision-free
+                dgfeat_ref[blk0 + ci] = jnp.where(live_row, dgT, 0.0)
+            else:
+                # a tile's last chunk overlaps the NEXT tile's window; the
+                # masked += keeps neighbours intact (sequential grid)
+                dg = jnp.where(live_row, dgT, 0.0).T  # [BK, 16]
+                dgfeat_ref[pl.ds(off, bk), :] = (
+                    dgfeat_ref[pl.ds(off, bk), :] + dg)
             return 0
 
         jax.lax.fori_loop(0, nch, chunk_body, 0)
@@ -235,16 +253,22 @@ def _bwd_kernel(starts_ref, gfeat_ref, g_ref, dgfeat_ref,
     jax.lax.fori_loop(0, tb, tile_body, 0)
 
 
-def _fwd_pallas(static, starts, gfeat):
-    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
+def _stream_spec(I, BK, aligned):
+    if aligned:
+        return pl.BlockSpec((I // BK, _FW, BK), lambda g, s, c: (0, 0, 0))
+    return pl.BlockSpec((I + BK, _FW), lambda g, s, c: (0, 0))
+
+
+def _fwd_pallas(static, starts, counts, gfeat):
+    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned = static
     P = tile_px * tile_px
     kern = functools.partial(_fwd_kernel, tile_px=tile_px, tb=TB, bk=BK,
-                             q_cut=q_cut, tiles_x=tiles_x)
+                             q_cut=q_cut, tiles_x=tiles_x, aligned=aligned)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T // TB,),
-        in_specs=[pl.BlockSpec((I + BK, _FW), lambda g, s: (0, 0))],
-        out_specs=pl.BlockSpec((TB, _C, P), lambda g, s: (g, 0, 0)),
+        in_specs=[_stream_spec(I, BK, aligned)],
+        out_specs=pl.BlockSpec((TB, _C, P), lambda g, s, c: (g, 0, 0)),
     )
     return pl.pallas_call(
         kern,
@@ -258,27 +282,29 @@ def _fwd_pallas(static, starts, gfeat):
             bytes_accessed=(I * _FW + T * _C * P) * 4,
             transcendentals=I * P,
         ),
-    )(starts, gfeat)
+    )(starts, counts, gfeat)
 
 
-def _bwd_pallas(static, starts, gfeat, g):
-    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
+def _bwd_pallas(static, starts, counts, gfeat, g):
+    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned = static
     P = tile_px * tile_px
     kern = functools.partial(_bwd_kernel, tile_px=tile_px, tb=TB, bk=BK,
-                             q_cut=q_cut, tiles_x=tiles_x)
+                             q_cut=q_cut, tiles_x=tiles_x, aligned=aligned)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T // TB,),
         in_specs=[
-            pl.BlockSpec((I + BK, _FW), lambda g_, s: (0, 0)),
-            pl.BlockSpec((TB, _C, P), lambda g_, s: (g_, 0, 0)),
+            _stream_spec(I, BK, aligned),
+            pl.BlockSpec((TB, _C, P), lambda g_, s, c: (g_, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((I + BK, _FW), lambda g_, s: (0, 0)),
+        out_specs=_stream_spec(I, BK, aligned),
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((I + BK, _FW), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((I // BK, _FW, BK), jnp.float32)
+                   if aligned else
+                   jax.ShapeDtypeStruct((I + BK, _FW), jnp.float32)),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -287,7 +313,7 @@ def _bwd_pallas(static, starts, gfeat, g):
             bytes_accessed=(2 * I * _FW + T * _C * P) * 4,
             transcendentals=I * P,
         ),
-    )(starts, gfeat, g)
+    )(starts, counts, gfeat, g)
 
 
 # ---------------------------------------------------------------------------
@@ -296,31 +322,42 @@ def _bwd_pallas(static, starts, gfeat, g):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _raster(static, gids, starts, feat):
-    out, _ = _raster_fwd(static, gids, starts, feat)
+def _raster(static, gids, starts, counts, feat):
+    out, _ = _raster_fwd(static, gids, starts, counts, feat)
     return out
 
 
-def _raster_fwd(static, gids, starts, feat):
-    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
-    gfeat = sc.gather_stream(gids, feat, BK)
-    out_tiled = _fwd_pallas(static, starts, gfeat)
+def _gather(static, gids, feat):
+    BK, aligned = static[2], static[10]
+    if aligned:
+        return sc.gather_stream_blocks(gids, feat, BK)
+    return sc.gather_stream(gids, feat, BK)
+
+
+def _raster_fwd(static, gids, starts, counts, feat):
+    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned = static
+    gfeat = _gather(static, gids, feat)
+    out_tiled = _fwd_pallas(static, starts, counts, gfeat)
     full = sc.untile_channels(out_tiled, tile_px, tiles_x, H, W)
     img, alpha = full[:3].transpose(1, 2, 0), full[3]
-    return (img, alpha), (gids, starts, feat)
+    return (img, alpha), (gids, starts, counts, feat)
 
 
 def _raster_bwd(static, res, g):
-    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I = static
-    gids, starts, feat = res
+    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned = static
+    gids, starts, counts, feat = res
     d_img, d_alpha = g
-    gfeat = sc.gather_stream(gids, feat, BK)  # cheap recompute
+    gfeat = _gather(static, gids, feat)  # cheap recompute
     G = sc.tile_cotangent(
         jnp.concatenate([d_img.transpose(2, 0, 1), d_alpha[None]], axis=0),
         tile_px, tiles_x, T, H, W)
-    dgfeat = _bwd_pallas(static, starts, gfeat, G)  # [I + BK, 16]
-    dfeat = sc.scatter_stream_grads(dgfeat, gids, feat)
-    return sc.float0_like(gids), sc.float0_like(starts), dfeat
+    dgrads = _bwd_pallas(static, starts, counts, gfeat, G)
+    if aligned:
+        dfeat = sc.scatter_block_grads(dgrads, gids, feat)
+    else:
+        dfeat = sc.scatter_stream_grads(dgrads, gids, feat)
+    return (sc.float0_like(gids), sc.float0_like(starts),
+            sc.float0_like(counts), dfeat)
 
 
 _raster.defvjp(_raster_fwd, _raster_bwd)
@@ -367,23 +404,35 @@ def rasterize_gaussians_sum(
     T_real = tiles_x * tiles_y
     TB = cfg.tiles_per_step
     T = T_real + ((-T_real) % TB)
-    I = sc.auto_max_instances(N, cfg)
+    BK = cfg.block_inst
+    I0 = sc.auto_max_instances(N, cfg)
+    aligned = I0 > cfg.flat_stream_limit
 
     if radii is None:
         radii = _radii_from_conics(jax.lax.stop_gradient(conics))
     radii = jax.lax.stop_gradient(radii.astype(jnp.float32))
 
-    stream = bin_gaussian_instances(
-        jax.lax.stop_gradient(xys).astype(jnp.float32), radii,
-        tiles_x, tiles_y, tp, I, T,
-        max_tiles_per_gauss=cfg.max_tiles_per_gauss)
+    sxys = jax.lax.stop_gradient(xys).astype(jnp.float32)
+    if aligned:
+        # capacity + per-live-tile alignment padding (whole blocks)
+        I = I0 + T_real * BK
+        stream = bin_instances_aligned(
+            sxys, radii, tiles_x, tiles_y, tp, I, T, BK,
+            max_tiles_per_gauss=cfg.max_tiles_per_gauss)
+        gids, starts, counts = stream.gids, stream.starts, stream.counts
+    else:
+        I = I0
+        stream = bin_gaussian_instances(
+            sxys, radii, tiles_x, tiles_y, tp, I, T,
+            max_tiles_per_gauss=cfg.max_tiles_per_gauss)
+        gids, starts = stream.gids, stream.starts
+        counts = starts[1:] - starts[:-1]
 
     feat = sc.pack_feat(xys, conics, colors, opacities)
-    static = (tp, TB, cfg.block_inst, float(cfg.q_cut), tiles_x, T,
-              sc.use_interpret(cfg), H, W, I)
-    img, alpha = _raster(static, stream.gids, stream.starts, feat)
+    static = (tp, TB, BK, float(cfg.q_cut), tiles_x, T,
+              sc.use_interpret(cfg), H, W, I, aligned)
+    img, alpha = _raster(static, gids, starts, counts, feat)
 
-    counts = stream.starts[1:T_real + 1] - stream.starts[:T_real]
     aux = {"n_dropped": stream.n_dropped,
            "max_per_tile_used": counts.max(),
            # legacy keys kept for monitoring call sites

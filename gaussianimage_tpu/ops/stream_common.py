@@ -102,3 +102,22 @@ def tile_cotangent(chans, tile_px: int, tiles_x: int, T: int, H: int, W: int):
         G = jnp.concatenate(
             [G, jnp.zeros((T - T_real, C, tp * tp), jnp.float32)], axis=0)
     return G
+
+
+def gather_stream_blocks(gids, feat, bk: int):
+    """[NB, 16, BK] transposed feature blocks (NB = I/bk) in aligned-stream
+    order. Full 128-lane VMEM tiles (bk >= 64), vs 8x lane padding for a
+    flat [I, 16] layout — this is what makes 100k+ gaussian scenes fit."""
+    I = gids.shape[0]
+    g = feat[gids]  # [I, 16]
+    return g.reshape(I // bk, bk, FW).transpose(0, 2, 1)
+
+
+def scatter_block_grads(dgblocks, gids, feat):
+    """Inverse of gather_stream_blocks for gradients: [NB, 16, BK] ->
+    per-gaussian sums via one deterministic segment scatter-add."""
+    N = feat.shape[0] - 1
+    I = gids.shape[0]
+    dg = dgblocks.transpose(0, 2, 1).reshape(I, FW)
+    dfeat = jnp.zeros_like(feat).at[gids].add(dg)
+    return dfeat.at[N].set(0.0)

@@ -185,3 +185,90 @@ def bin_gaussian_instances(
     n_total = jnp.where(live, 1, 0).sum()
     n_dropped = (trunc + jnp.maximum(n_total - I, 0)).astype(jnp.int32)
     return InstanceStream(gids, starts, n_dropped)
+
+
+class AlignedStream(NamedTuple):
+    """Instance stream with every tile window padded to a multiple of the
+    kernel chunk size BK (dead padding instances point at the sentinel row).
+
+    Alignment lets the rasterizers store the stream as transposed
+    [n_blocks, 16, BK] feature blocks — full 128-lane VMEM tiles instead of
+    the 8x-padded [I, 16] layout — and read/write whole blocks per chunk
+    with a leading-dim dynamic index (no unaligned sublane slicing, no
+    in-kernel transpose, collision-free full-block backward writes).
+    """
+    gids: jnp.ndarray     # [I_pad] int32, N = dead sentinel
+    starts: jnp.ndarray   # [n_tiles_padded + 1] int32, multiples of BK
+    counts: jnp.ndarray   # [n_tiles_padded] int32 real (unpadded) counts
+    n_dropped: jnp.ndarray
+
+
+def bin_instances_aligned(
+    xys: jnp.ndarray,
+    radii: jnp.ndarray,
+    tiles_x: int,
+    tiles_y: int,
+    tile_px: int,
+    max_instances_padded: int,
+    n_tiles_padded: int,
+    block: int,
+    max_tiles_per_gauss: int = 25,
+    order: Optional[jnp.ndarray] = None,
+) -> AlignedStream:
+    """Like ``bin_gaussian_instances`` but with BK-aligned tile windows.
+
+    ``max_instances_padded`` must be a multiple of ``block`` and include
+    headroom for the per-live-tile padding (up to block-1 each).
+    """
+    T = tiles_x * tiles_y
+    N = xys.shape[0]
+    I = max_instances_padded
+
+    tile, live, trunc = _expand_instances(
+        xys, radii, tiles_x, tiles_y, tile_px, max_tiles_per_gauss, order)
+    srank, dead, bounds_keys, queries = _sorted_stream(tile, live, N, T)
+
+    gids_sorted = jnp.where(dead, N, srank)
+    if order is not None:
+        ordered = jnp.concatenate(
+            [order.astype(jnp.int32), jnp.asarray([N], jnp.int32)])
+        gids_sorted = ordered[gids_sorted]
+
+    bounds = jnp.searchsorted(bounds_keys, queries).astype(jnp.int32)  # [T+1]
+    counts_real = bounds[1:] - bounds[:-1]
+    acounts = -(-counts_real // block) * block
+    astarts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(acounts).astype(jnp.int32)])
+    astarts = jnp.minimum(astarts, I)
+    counts = jnp.minimum(counts_real,
+                         astarts[1:] - astarts[:-1])  # clip at stream cap
+
+    # aligned slot m maps back to sorted position src(m) = m - shift(t(m)),
+    # where shift(t) = astarts[t] - bounds[t] is the alignment padding
+    # before tile t. Piecewise-constant per-segment values are built with
+    # T-sized scatters of boundary jumps + [I] cumsums (telescoping), so
+    # the whole realignment is gathers/cumsums — no per-instance
+    # searchsorted (~4.5 ms) and no I-sized scatter (~1.5 ms on v5e).
+    NM = gids_sorted.shape[0]
+    shift_t = astarts[:-1] - bounds[:-1]                      # [T]
+    delta = jnp.diff(shift_t, prepend=jnp.zeros((1,), jnp.int32))
+    shift_m = jnp.cumsum(
+        jnp.zeros((I,), jnp.int32).at[astarts[:-1]].add(delta, mode="drop"))
+    m = jnp.arange(I, dtype=jnp.int32)
+    src = m - shift_m
+    # L(m) = bounds[t(m)+1] by telescoping the per-tile count jumps
+    limit = jnp.cumsum(
+        jnp.zeros((I,), jnp.int32).at[astarts[:-1]].add(
+            counts_real, mode="drop"))
+    valid = (src < limit) & (m < astarts[-1])
+    gids = jnp.where(valid, gids_sorted[jnp.clip(src, 0, NM - 1)], N)
+
+    if n_tiles_padded > T:
+        pad = jnp.full((n_tiles_padded - T,), astarts[-1], jnp.int32)
+        astarts = jnp.concatenate([astarts, pad])
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((n_tiles_padded - T,), jnp.int32)])
+    n_total = jnp.where(live, 1, 0).sum()
+    kept = counts.sum()
+    n_dropped = (trunc + jnp.maximum(n_total - kept, 0)).astype(jnp.int32)
+    return AlignedStream(gids, astarts, counts, n_dropped)

@@ -145,3 +145,29 @@ def test_offscreen_gaussians_ignored():
     ref = render_sum_dense(xys2, conics, colors, opac, H, W, q_cut=CFG.q_cut)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_aligned_stream_path_matches_flat():
+    # force the BK-aligned block-stream path (used for large N) and check
+    # forward + all gradients against the default flat-stream path
+    N, H, W = 220, 64, 96
+    xys, radii, conics, colors, opac = _scene(N, H, W, seed=12)
+    cfg_flat = CFG
+    cfg_al = CFG._replace(flat_stream_limit=0)
+
+    def loss(cfg, args):
+        xys, conics, colors, opac = args
+        img, alpha, aux = rasterize_gaussians_sum(
+            xys, conics, colors, opac, H, W, radii=radii, config=cfg)
+        return jnp.sum(img ** 2) + 0.5 * jnp.sum(alpha ** 2), aux
+
+    args = (xys, conics, colors, opac)
+    (l1, aux1), g1 = jax.value_and_grad(
+        lambda a: loss(cfg_flat, a), has_aux=True)(args)
+    (l2, aux2), g2 = jax.value_and_grad(
+        lambda a: loss(cfg_al, a), has_aux=True)(args)
+    assert int(aux1["n_dropped"]) == 0 and int(aux2["n_dropped"]) == 0
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
