@@ -34,7 +34,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gaussianimage_tpu.ops import stream_common as sc
-from gaussianimage_tpu.ops.tiles import bin_gaussian_instances, bin_gaussians_per_tile
+from gaussianimage_tpu.ops.rasterize_sum import _read_chunk, _stream_spec
+from gaussianimage_tpu.ops.tiles import (bin_gaussian_instances,
+                                         bin_gaussians_per_tile,
+                                         bin_instances_aligned)
 
 _C = 8   # padded channels: rgb + T_fin + logT_fin + 3 pad
 _FW = 16
@@ -46,6 +49,9 @@ class BlendConfig(NamedTuple):
     block_inst: int = 64         # instances per inner chunk (BK)
     max_tiles_per_gauss: int = 64  # 3DGS gaussians can span 8x8 tiles at 16px
     max_instances: Optional[int] = None  # stream cap (None -> auto from N)
+    flat_stream_limit: int = 65536  # flat [I,16] stream below this many
+    #   instances; larger scenes use BK-aligned transposed blocks (see
+    #   ops/rasterize_sum.py — the flat layout pads lanes 8x in VMEM)
     alpha_clip: float = 0.999
     alpha_min: float = 1.0 / 255.0
     interpret: Optional[bool] = None
@@ -91,8 +97,9 @@ def _alpha_terms(gT, tx0, ty0, X, Y, count, ci, bk, alpha_clip, alpha_min):
     return alpha, in_range, w, q, dx, dy, (a, b, c, op)
 
 
-def _blend_fwd_kernel(starts_ref, gfeat_ref, out_ref,
-                      *, tile_px, tb, bk, tiles_x, alpha_clip, alpha_min):
+def _blend_fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
+                      *, tile_px, tb, bk, tiles_x, alpha_clip, alpha_min,
+                      aligned):
     P = tile_px * tile_px
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     X = (pidx % tile_px).astype(jnp.float32)
@@ -103,16 +110,16 @@ def _blend_fwd_kernel(starts_ref, gfeat_ref, out_ref,
     def tile_body(i, _):
         t = g0 * tb + i
         start = starts_ref[t]
-        count = starts_ref[t + 1] - start
+        blk0 = start // bk
+        count = counts_ref[t]
         nch = (count + bk - 1) // bk
         tx0 = ((t % tiles_x) * tile_px).astype(jnp.float32)
         ty0 = ((t // tiles_x) * tile_px).astype(jnp.float32)
 
         def chunk_body(ci, carry):
             logT, acc = carry  # [1, P], [8, P]
-            off = start + ci * bk
-            g = gfeat_ref[pl.ds(off, bk), :]
-            gT = g.T
+            gT = _read_chunk(gfeat_ref, blk0, ci, start + ci * bk, bk,
+                             aligned)
             alpha, _, _, _, _, _, _ = _alpha_terms(
                 gT, tx0, ty0, X, Y, count, ci, bk, alpha_clip, alpha_min)
             l1m = jnp.log1p(-alpha)  # [BK, P], in [log(1-clip), 0]
@@ -145,8 +152,9 @@ def _blend_fwd_kernel(starts_ref, gfeat_ref, out_ref,
     jax.lax.fori_loop(0, tb, tile_body, 0)
 
 
-def _blend_bwd_kernel(starts_ref, gfeat_ref, out_ref, g_ref, dgfeat_ref,
-                      *, tile_px, tb, bk, tiles_x, alpha_clip, alpha_min):
+def _blend_bwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref, g_ref,
+                      dgfeat_ref, *, tile_px, tb, bk, tiles_x, alpha_clip,
+                      alpha_min, aligned):
     P = tile_px * tile_px
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     X = (pidx % tile_px).astype(jnp.float32)
@@ -161,7 +169,8 @@ def _blend_bwd_kernel(starts_ref, gfeat_ref, out_ref, g_ref, dgfeat_ref,
     def tile_body(i, _):
         t = g0 * tb + i
         start = starts_ref[t]
-        count = starts_ref[t + 1] - start
+        blk0 = start // bk
+        count = counts_ref[t]
         nch = (count + bk - 1) // bk
         tx0 = ((t % tiles_x) * tile_px).astype(jnp.float32)
         ty0 = ((t // tiles_x) * tile_px).astype(jnp.float32)
@@ -173,8 +182,7 @@ def _blend_bwd_kernel(starts_ref, gfeat_ref, out_ref, g_ref, dgfeat_ref,
             ci = nch - 1 - rci
             logR, S = carry   # suffix log-prod, suffix sum of (G.c) vis
             off = start + ci * bk
-            g = gfeat_ref[pl.ds(off, bk), :]
-            gT = g.T
+            gT = _read_chunk(gfeat_ref, blk0, ci, off, bk, aligned)
             alpha, in_range, w, q, dx, dy, parts = _alpha_terms(
                 gT, tx0, ty0, X, Y, count, ci, bk, alpha_clip, alpha_min)
             a, b, c, op = parts
@@ -222,11 +230,14 @@ def _blend_bwd_kernel(starts_ref, gfeat_ref, out_ref, g_ref, dgfeat_ref,
             dgT = jnp.stack([dgx, dgy, da, db, dc,
                              dcolT[0], dcolT[1], dcolT[2],
                              dop, z, z, z, z, z, z, z], axis=0)  # [16, BK]
-            slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
-            live = slot < count
-            dg = jnp.where(live, dgT.T, 0.0)
-            dgfeat_ref[pl.ds(off, bk), :] = (
-                dgfeat_ref[pl.ds(off, bk), :] + dg)
+            live_row = (ci * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, bk), 1)) < count
+            if aligned:
+                dgfeat_ref[blk0 + ci] = jnp.where(live_row, dgT, 0.0)
+            else:
+                dg = jnp.where(live_row, dgT, 0.0).T  # [BK, 16]
+                dgfeat_ref[pl.ds(off, bk), :] = (
+                    dgfeat_ref[pl.ds(off, bk), :] + dg)
             logR = logR + jnp.sum(l1m, axis=0, keepdims=True)
             S = S + jnp.sum(gv, axis=0, keepdims=True)
             return (logR, S)
@@ -239,17 +250,18 @@ def _blend_bwd_kernel(starts_ref, gfeat_ref, out_ref, g_ref, dgfeat_ref,
     jax.lax.fori_loop(0, tb, tile_body, 0)
 
 
-def _blend_fwd_pallas(static, starts, gfeat):
-    tile_px, TB, BK, tiles_x, T, interpret, H, W, I, a_clip, a_min = static
+def _blend_fwd_pallas(static, starts, counts, gfeat):
+    (tile_px, TB, BK, tiles_x, T, interpret, H, W, I, a_clip, a_min,
+     aligned) = static
     P = tile_px * tile_px
     kern = functools.partial(_blend_fwd_kernel, tile_px=tile_px, tb=TB,
                              bk=BK, tiles_x=tiles_x, alpha_clip=a_clip,
-                             alpha_min=a_min)
+                             alpha_min=a_min, aligned=aligned)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T // TB,),
-        in_specs=[pl.BlockSpec((I + BK, _FW), lambda g, s: (0, 0))],
-        out_specs=pl.BlockSpec((TB, _C, P), lambda g, s: (g, 0, 0)),
+        in_specs=[_stream_spec(I, BK, aligned)],
+        out_specs=pl.BlockSpec((TB, _C, P), lambda g, s, c: (g, 0, 0)),
     )
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
@@ -262,28 +274,31 @@ def _blend_fwd_pallas(static, starts, gfeat):
             bytes_accessed=(I * _FW + T * _C * P) * 4,
             transcendentals=2 * I * P,
         ),
-    )(starts, gfeat)
+    )(starts, counts, gfeat)
 
 
-def _blend_bwd_pallas(static, starts, gfeat, out_tiled, g):
-    tile_px, TB, BK, tiles_x, T, interpret, H, W, I, a_clip, a_min = static
+def _blend_bwd_pallas(static, starts, counts, gfeat, out_tiled, g):
+    (tile_px, TB, BK, tiles_x, T, interpret, H, W, I, a_clip, a_min,
+     aligned) = static
     P = tile_px * tile_px
     kern = functools.partial(_blend_bwd_kernel, tile_px=tile_px, tb=TB,
                              bk=BK, tiles_x=tiles_x, alpha_clip=a_clip,
-                             alpha_min=a_min)
+                             alpha_min=a_min, aligned=aligned)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T // TB,),
         in_specs=[
-            pl.BlockSpec((I + BK, _FW), lambda g_, s: (0, 0)),
-            pl.BlockSpec((TB, _C, P), lambda g_, s: (g_, 0, 0)),
-            pl.BlockSpec((TB, _C, P), lambda g_, s: (g_, 0, 0)),
+            _stream_spec(I, BK, aligned),
+            pl.BlockSpec((TB, _C, P), lambda g_, s, c: (g_, 0, 0)),
+            pl.BlockSpec((TB, _C, P), lambda g_, s, c: (g_, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((I + BK, _FW), lambda g_, s: (0, 0)),
+        out_specs=_stream_spec(I, BK, aligned),
     )
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((I + BK, _FW), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((I // BK, _FW, BK), jnp.float32)
+                   if aligned else
+                   jax.ShapeDtypeStruct((I + BK, _FW), jnp.float32)),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -292,7 +307,7 @@ def _blend_bwd_pallas(static, starts, gfeat, out_tiled, g):
             bytes_accessed=(2 * I * _FW + 2 * T * _C * P) * 4,
             transcendentals=4 * I * P,
         ),
-    )(starts, gfeat, out_tiled, g)
+    )(starts, counts, gfeat, out_tiled, g)
 
 
 # ---------------------------------------------------------------------------
@@ -301,34 +316,46 @@ def _blend_bwd_pallas(static, starts, gfeat, out_tiled, g):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _blend(static, gids, starts, feat):
-    out, _ = _blend_fwd(static, gids, starts, feat)
+def _blend(static, gids, starts, counts, feat):
+    out, _ = _blend_fwd(static, gids, starts, counts, feat)
     return out
 
 
-def _blend_fwd(static, gids, starts, feat):
-    tile_px, TB, BK, tiles_x, T = static[0], static[1], static[2], static[3], static[4]
+def _gather(static, gids, feat):
+    BK, aligned = static[2], static[11]
+    if aligned:
+        return sc.gather_stream_blocks(gids, feat, BK)
+    return sc.gather_stream(gids, feat, BK)
+
+
+def _blend_fwd(static, gids, starts, counts, feat):
+    tile_px, tiles_x = static[0], static[3]
     H, W = static[6], static[7]
-    gfeat = sc.gather_stream(gids, feat, BK)
-    out_tiled = _blend_fwd_pallas(static, starts, gfeat)
+    gfeat = _gather(static, gids, feat)
+    out_tiled = _blend_fwd_pallas(static, starts, counts, gfeat)
     full = sc.untile_channels(out_tiled, tile_px, tiles_x, H, W)
     rgb, tfin = full[:3].transpose(1, 2, 0), full[3]
-    return (rgb, tfin), (gids, starts, feat, out_tiled)
+    return (rgb, tfin), (gids, starts, counts, feat, out_tiled)
 
 
 def _blend_bwd(static, res, g):
-    tile_px, TB, BK, tiles_x, T = static[0], static[1], static[2], static[3], static[4]
+    tile_px, tiles_x, T = static[0], static[3], static[4]
+    aligned = static[11]
     H, W = static[6], static[7]
-    gids, starts, feat, out_tiled = res
+    gids, starts, counts, feat, out_tiled = res
     d_rgb, d_tfin = g
-    gfeat = sc.gather_stream(gids, feat, BK)
+    gfeat = _gather(static, gids, feat)
     G = sc.tile_cotangent(
         jnp.concatenate([d_rgb.astype(jnp.float32).transpose(2, 0, 1),
                          d_tfin.astype(jnp.float32)[None]], axis=0),
         tile_px, tiles_x, T, H, W)
-    dgfeat = _blend_bwd_pallas(static, starts, gfeat, out_tiled, G)
-    dfeat = sc.scatter_stream_grads(dgfeat, gids, feat)
-    return sc.float0_like(gids), sc.float0_like(starts), dfeat
+    dgrads = _blend_bwd_pallas(static, starts, counts, gfeat, out_tiled, G)
+    if aligned:
+        dfeat = sc.scatter_block_grads(dgrads, gids, feat)
+    else:
+        dfeat = sc.scatter_stream_grads(dgrads, gids, feat)
+    return (sc.float0_like(gids), sc.float0_like(starts),
+            sc.float0_like(counts), dfeat)
 
 
 _blend.defvjp(_blend_fwd, _blend_bwd)
@@ -355,27 +382,39 @@ def rasterize_gaussians_blend(
     T_real = tiles_x * tiles_y
     TB = cfg.tiles_per_step
     T = T_real + ((-T_real) % TB)
-    I = sc.auto_max_instances(N, cfg)
+    BK = cfg.block_inst
+    I0 = sc.auto_max_instances(N, cfg)
+    aligned = I0 > cfg.flat_stream_limit
     if background is None:
         background = jnp.zeros((3,), jnp.float32)
 
     order = jnp.argsort(jax.lax.stop_gradient(depths), stable=True)
     order = order.astype(jnp.int32)
-    stream = bin_gaussian_instances(
-        jax.lax.stop_gradient(xys).astype(jnp.float32),
-        jax.lax.stop_gradient(radii).astype(jnp.float32),
-        tiles_x, tiles_y, tp, I, T,
-        max_tiles_per_gauss=cfg.max_tiles_per_gauss, order=order)
+    sxys = jax.lax.stop_gradient(xys).astype(jnp.float32)
+    sradii = jax.lax.stop_gradient(radii).astype(jnp.float32)
+    if aligned:
+        I = I0 + T_real * BK
+        stream = bin_instances_aligned(
+            sxys, sradii, tiles_x, tiles_y, tp, I, T, BK,
+            max_tiles_per_gauss=cfg.max_tiles_per_gauss, order=order)
+        gids, starts, counts = stream.gids, stream.starts, stream.counts
+    else:
+        I = I0
+        stream = bin_gaussian_instances(
+            sxys, sradii, tiles_x, tiles_y, tp, I, T,
+            max_tiles_per_gauss=cfg.max_tiles_per_gauss, order=order)
+        gids, starts = stream.gids, stream.starts
+        counts = starts[1:] - starts[:-1]
 
     feat = sc.pack_feat(xys, conics, colors, opacities)
-    static = (tp, TB, cfg.block_inst, tiles_x, T, sc.use_interpret(cfg),
-              H, W, I, float(cfg.alpha_clip), float(cfg.alpha_min))
-    rgb, tfin = _blend(static, stream.gids, stream.starts, feat)
+    static = (tp, TB, BK, tiles_x, T, sc.use_interpret(cfg),
+              H, W, I, float(cfg.alpha_clip), float(cfg.alpha_min), aligned)
+    rgb, tfin = _blend(static, gids, starts, counts, feat)
     img = rgb + tfin[..., None] * background[None, None]
     alpha = 1.0 - tfin
 
-    counts = stream.starts[1:T_real + 1] - stream.starts[:T_real]
-    aux = {"n_dropped": stream.n_dropped, "max_count": counts.max()}
+    aux = {"n_dropped": stream.n_dropped,
+           "max_count": counts[:T_real].max()}
     return img, alpha, aux
 
 

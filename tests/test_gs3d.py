@@ -181,3 +181,31 @@ def test_blend_pallas_grads_match_xla_oracle():
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b_) / scale,
             rtol=5e-4, atol=5e-5, err_msg=name)
+
+
+def test_blend_aligned_stream_matches_flat():
+    rng = np.random.default_rng(21)
+    N, H, W = 100, 32, 48
+    xys = jnp.asarray(rng.uniform(0, 48, (N, 2)).astype(np.float32))
+    s2 = rng.uniform(0.05, 0.5, N).astype(np.float32)
+    conics = jnp.asarray(np.stack([s2, np.zeros(N, np.float32), s2], -1))
+    colors = jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.1, 0.9, (N,)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(1, 10, N).astype(np.float32))
+    radii = jnp.full((N,), 12.0)
+
+    def loss(cfg, args):
+        xys, colors, opac = args
+        img, alpha, _ = rasterize_gaussians_blend(
+            xys, depths, radii, conics, colors, opac, H, W, config=cfg)
+        return jnp.sum(img ** 2) + 0.3 * jnp.sum(alpha ** 2)
+
+    args = (xys, colors, opac)
+    l1, g1 = jax.value_and_grad(
+        lambda a: loss(BlendConfig(), a))(args)
+    l2, g2 = jax.value_and_grad(
+        lambda a: loss(BlendConfig(flat_stream_limit=0), a))(args)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
