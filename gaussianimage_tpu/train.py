@@ -46,6 +46,19 @@ class SimpleTrainer2d:
                  model_name: str = "GaussianImage_Cholesky",
                  iterations: int = 30000, model_path=None, args=None,
                  log_dir: Path | None = None, chunk_size: int = 250):
+        # shape bucketing: pad H/W up to a multiple so variable-size
+        # datasets (DIV2K) reuse a few compiled executables instead of one
+        # ~40s TPU compile per distinct image size. Edge-replicate padding
+        # keeps the fit natural; metrics/artifacts use the cropped region.
+        bucket = int(getattr(args, "shape_bucket", 0) or 0)
+        self.crop_h = int(gt_image.shape[2])
+        self.crop_w = int(gt_image.shape[3])
+        if bucket > 1:
+            ph = (-self.crop_h) % bucket
+            pw = (-self.crop_w) % bucket
+            if ph or pw:
+                gt_image = np.pad(gt_image, ((0, 0), (0, 0), (0, ph), (0, pw)),
+                                  mode="edge")
         self.gt_image = jnp.asarray(gt_image, jnp.float32)  # [1,3,H,W]
         self.image_name = image_name
         self.num_points = num_points
@@ -177,6 +190,10 @@ class SimpleTrainer2d:
         return (psnr_value, ms_ssim_value, end_time, test_end_time,
                 1 / test_end_time)
 
+    def _cropped(self, out):
+        return (out[..., :self.crop_h, :self.crop_w],
+                self.gt_image[..., :self.crop_h, :self.crop_w])
+
     def test(self):
         # surface binning overflow: truncated instance streams silently cut
         # gaussian coverage, so warn loudly if the fitted scene overflows
@@ -188,17 +205,17 @@ class SimpleTrainer2d:
                 "WARNING: rasterizer dropped {} gaussian-tile instances "
                 "(raise RasterizeConfig.max_instances / max_tiles_per_gauss)"
                 .format(int(np.asarray(aux["n_dropped"]))))
-        out = self._render_fn(self.state.params)
+        out, gt = self._cropped(self._render_fn(self.state.params))
         mse = float(jnp.mean((out.astype(jnp.float32)
-                              - self.gt_image.astype(jnp.float32)) ** 2))
+                              - gt.astype(jnp.float32)) ** 2))
         psnr = 10 * math.log10(1.0 / max(mse, 1e-12))
         # MS-SSIM needs >= 161px per side (5 scales x 11-tap window);
         # fall back to single-scale SSIM on smaller test images
-        if min(self.H, self.W) >= 161:
-            msv = float(ms_ssim(out, self.gt_image, data_range=1.0))
+        if min(self.crop_h, self.crop_w) >= 161:
+            msv = float(ms_ssim(out, gt, data_range=1.0))
         else:
             from gaussianimage_tpu.utils import ssim
-            msv = float(ssim(out, self.gt_image, data_range=1.0))
+            msv = float(ssim(out, gt, data_range=1.0))
         num_points_final = int(self.state.params["_xyz"].shape[0])
         self.logwriter.write(
             "Test PSNR:{:.4f}, MS_SSIM:{:.6f}, Final_points:{:d}".format(
@@ -225,6 +242,10 @@ def parse_args(argv):
     p.add_argument("--chunk_size", type=int, default=250,
                    help="train iterations per on-device scan chunk")
     p.add_argument("--checkpoint_root", type=str, default="./checkpoints")
+    p.add_argument("--shape_bucket", type=int, default=0,
+                   help="pad images up to a multiple of this many pixels so "
+                        "variable-size datasets share compiled executables "
+                        "(metrics use the original crop); 0 = off")
     p.add_argument("--profile", type=str, default=None,
                    help="directory for a jax.profiler trace of one training "
                         "chunk + renders (device-side timings)")

@@ -44,3 +44,22 @@ def test_rs_fit_improves_matching_cholesky_ballpark():
     # the two covariance parameterizations represent the same family
     assert abs(finals["GaussianImage_Cholesky"] - finals["GaussianImage_RS"]) < 6.0, finals
     assert min(finals.values()) > 22.0, finals
+
+
+def test_shape_bucketing_pads_and_crops(tmp_path):
+    # non-multiple image size + --shape_bucket: the fit runs at the padded
+    # shape, metrics/artifacts use the original crop
+    from types import SimpleNamespace
+    from gaussianimage_tpu.train import SimpleTrainer2d
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, 3, 50, 70)).astype(np.float32)
+    args = SimpleNamespace(shape_bucket=64, save_imgs=False, profile=None,
+                           lr=1e-3, opt_type="adan", seed=1)
+    tr = SimpleTrainer2d(img, "tiny", num_points=256, iterations=100,
+                         args=args, log_dir=tmp_path, chunk_size=50)
+    assert (tr.H, tr.W) == (64, 128)       # padded model shape
+    assert (tr.crop_h, tr.crop_w) == (50, 70)
+    tr.train()
+    psnr, msv, n = tr.test()
+    assert np.isfinite(psnr) and psnr > 5.0  # 100 iters on random noise: sanity, not quality
