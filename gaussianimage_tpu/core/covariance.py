@@ -60,10 +60,16 @@ def cov2d_from_scale_rot(scales: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray
     return jnp.stack([s11, s12, s22], axis=-1)
 
 
-def conic_from_cov2d(cov: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+def conic_from_cov2d(cov: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     """Conic (inverse covariance) [N, 3] = (a, b, c) from covariance [N, 3].
 
     q(d) = a*dx^2 + 2*b*dx*dy + c*dy^2 is the Mahalanobis quadratic form.
+    eps floors the determinant: quantization-aware training can dequantize a
+    Cholesky diagonal to ~0, and with a 1e-12 floor the d(conic)/d(cov)
+    chain reaches ~1/det^2 = 1e24 and overflows f32 into NaNs (observed
+    after ~2k QAT iters from a converged fit). 1e-6 bounds the chain at
+    ~1e12 while leaving any non-degenerate gaussian untouched; max() zeroes
+    the det gradient below the floor.
     """
     s11, s12, s22 = cov[..., 0], cov[..., 1], cov[..., 2]
     det = s11 * s22 - s12 * s12

@@ -73,7 +73,11 @@ def render_sum_dense(
         dx, dy = d[..., 0], d[..., 1]
         a, b, c = (cconics[:, 0].astype(dtype), cconics[:, 1].astype(dtype),
                    cconics[:, 2].astype(dtype))
-        q = a[None] * dx * dx + 2.0 * b[None] * dx * dy + c[None] * dy * dy
+        # same q >= 0 clamp as the Pallas kernels (f32 cancellation can go
+        # negative for near-degenerate conics, overflowing exp)
+        q = jnp.maximum(
+            a[None] * dx * dx + 2.0 * b[None] * dx * dy + c[None] * dy * dy,
+            0.0)
         w = jnp.exp(-0.5 * q) * copac[:, 0][None]  # [HW, chunk]
         if q_cut is not None:
             w = jnp.where(q <= q_cut, w, 0.0)

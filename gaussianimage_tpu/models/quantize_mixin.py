@@ -71,13 +71,22 @@ class QuantizeMixin:
     def init_quantizer_data(self, state):
         """The two-stage warm-start hook: set uniform-quantizer ranges from
         the loaded weights (reference model._init_data, called at
-        train_quantize.py:59)."""
+        train_quantize.py:59). Also k-means-initializes the VQ codebooks
+        from the loaded colors so eval-before-training renders sensibly
+        (lazily-initialized codebooks are all-zero until the first step).
+        """
         params = dict(state.params)
         for name, raw in self._uq_raw_values(params).items():
             st = self._uq(name).init_from_data(raw)
             params[f"{name}_quant_scale"] = st.scale
             params[f"{name}_quant_beta"] = st.beta
-        return state._replace(params=params)
+        extra = dict(state.extra)
+        if "vq" in extra:
+            import jax as _jax
+            extra["vq"] = self.features_vq._kmeans_init(
+                _jax.random.PRNGKey(0),
+                _jax.lax.stop_gradient(self.get_features(params)))
+        return state._replace(params=params, extra=extra)
 
     # ---- QAT forward -----------------------------------------------------
     def quantized_splat_inputs(self, params, extra, *, training=True,

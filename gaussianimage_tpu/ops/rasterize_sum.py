@@ -142,7 +142,12 @@ def _fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
             # cancellation: dx, dy are tile-small)
             dx = X - gx  # [BK, P]
             dy = Y - gy
-            q = a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
+            # clamp: for near-degenerate conics (QAT can quantize a
+            # Cholesky diagonal to ~1e-4) the f32 form cancels ~1e11-scale
+            # terms and can go spuriously negative, which would pass the
+            # q_cut gate and overflow exp()
+            q = jnp.maximum(
+                a * dx * dx + 2.0 * b * dx * dy + c * dy * dy, 0.0)
             slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
             live = slot < count
             w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
@@ -195,7 +200,12 @@ def _bwd_kernel(starts_ref, counts_ref, gfeat_ref, g_ref, dgfeat_ref,
             cmT, _ = _cm_rows(gT)
             dx = X - gx
             dy = Y - gy
-            q = a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
+            # clamp: for near-degenerate conics (QAT can quantize a
+            # Cholesky diagonal to ~1e-4) the f32 form cancels ~1e11-scale
+            # terms and can go spuriously negative, which would pass the
+            # q_cut gate and overflow exp()
+            q = jnp.maximum(
+                a * dx * dx + 2.0 * b * dx * dy + c * dy * dy, 0.0)
             slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
             live = slot < count
             w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)

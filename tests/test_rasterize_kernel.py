@@ -171,3 +171,36 @@ def test_aligned_stream_path_matches_flat():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_degenerate_conic_stays_finite():
+    # QAT can quantize a Cholesky diagonal to ~1e-4, making the conic huge
+    # and strongly correlated; the f32 quadratic form then cancels ~1e11-
+    # scale terms and can come out negative. Regression: exp must never see
+    # a spuriously negative q (NaN fit collapse observed after ~2k QAT
+    # iters on TPU).
+    N, H, W = 4, 64, 64
+    xys = jnp.asarray([[32.2, 31.7], [10.0, 10.0], [50.0, 20.0], [20., 50.]],
+                      jnp.float32)
+    # cov from cholesky with l22 ~ 1e-4 and large l21 (near-singular)
+    l11, l21, l22 = 0.22, 8.0, 1.7e-4
+    s11, s12, s22 = l11 * l11, l11 * l21, l21 * l21 + l22 * l22
+    det = max(s11 * s22 - s12 * s12, 1e-6)
+    conic_bad = [s22 / det, -s12 / det, s11 / det]
+    conics = jnp.asarray([conic_bad, [0.5, 0.0, 0.5], conic_bad,
+                          [0.2, 0.1, 0.3]], jnp.float32)
+    colors = jnp.full((N, 3), 0.5)
+    opac = jnp.ones((N, 1))
+    radii = jnp.full((N,), 30.0)
+
+    def loss(args):
+        xys, conics, colors, opac = args
+        img, alpha, _ = rasterize_gaussians_sum(
+            xys, conics, colors, opac, H, W, radii=radii, config=CFG)
+        return jnp.sum(img ** 2) + jnp.sum(alpha)
+
+    (l, g) = jax.value_and_grad(loss)((xys, conics, colors, opac)), None
+    val, grads = l
+    assert np.isfinite(float(val))
+    for arr in grads:
+        assert bool(jnp.isfinite(arr).all())
