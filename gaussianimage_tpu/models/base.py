@@ -79,6 +79,11 @@ class TrainState(NamedTuple):
 class GaussianModelBase:
     """Static model object. Subclasses define init_params / render / loss."""
 
+    # the fused render+L2+backward pass (ops/rasterize_sum.py) is valid only
+    # when splat() captures the ENTIRE forward; models whose forward depends
+    # on iteration/key/extra (e.g. wMask's gumbel mask) must opt out
+    fused_l2 = True
+
     def __init__(self, config: ModelConfig):
         self.cfg = config
 
@@ -96,6 +101,19 @@ class GaussianModelBase:
     def loss(self, params, gt_image, *, key=None, iteration=0, extra=None
              ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         """Returns (scalar loss, aux dict incl. 'render' and 'mse')."""
+        if (self.cfg.loss_type == "L2" and self.fused_l2
+                and not self.cfg.quantize and hasattr(self, "splat")):
+            # canonical config: fused render+L2+backward in one Pallas pass
+            # (numerically equal to loss_fn(clip(render), gt, "L2"))
+            from gaussianimage_tpu.ops.rasterize_sum import (
+                rasterize_gaussians_sum_l2)
+            xys, radii, conics, colors, opac = self.splat(params)
+            mse, raux = rasterize_gaussians_sum_l2(
+                xys, conics, colors, opac, gt_image[0], self.cfg.H,
+                self.cfg.W, radii=radii, config=self.cfg.raster,
+                clamp=not self.cfg.no_clamp)
+            return mse, {"mse": mse, "render": None,
+                         "pkg": {"raster_aux": raux}}
         pkg = self.render(params, key=key, iteration=iteration, extra=extra)
         img = pkg["render"]
         loss = _loss_fn(img, gt_image, self.cfg.loss_type, self.cfg.lambda_value)

@@ -126,6 +126,8 @@ class GaussianImageCholeskyMask(GaussianImageCholesky):
         }
 
     # -- loss with sparsity regularizers --------------------------------------
+    fused_l2 = False  # forward depends on (iteration, key) via the mask
+
     def loss(self, params, gt_image, *, key=None, iteration=0, extra=None):
         loss, aux = super().loss(params, gt_image, key=key,
                                  iteration=iteration, extra=extra)

@@ -449,3 +449,266 @@ def rasterize_gaussians_sum(
            "n_dropped_fwd": stream.n_dropped,
            "n_dropped_bwd": stream.n_dropped}
     return img, alpha, aux
+
+
+# ---------------------------------------------------------------------------
+# fused render + L2 loss + backward (the canonical training step's hot path)
+# ---------------------------------------------------------------------------
+
+
+def _fused_l2_kernel(starts_ref, counts_ref, gfeat_ref, gt_ref,
+                     loss_ref, dgfeat_ref,
+                     *, tile_px, tb, bk, q_cut, tiles_x, aligned,
+                     H, W, clamp, gscale):
+    """Per tile: forward accumulate -> clip -> L2 cotangent in VMEM ->
+    analytic backward. One kernel per train step instead of fwd pallas +
+    XLA image/loss/cotangent round-trips + bwd pallas."""
+    P = tile_px * tile_px
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    X = (pidx % tile_px).astype(jnp.float32)
+    Y = (pidx // tile_px).astype(jnp.float32)
+    phi_m = jnp.concatenate(
+        [jnp.ones_like(X), X, Y, X * X, X * Y, Y * Y,
+         jnp.zeros_like(X), jnp.zeros_like(X)], axis=0)  # [8, P]
+    g0 = pl.program_id(0)
+
+    @pl.when(g0 == 0)
+    def _init():
+        dgfeat_ref[:] = jnp.zeros_like(dgfeat_ref)
+
+    def tile_body(i, sse):
+        t = g0 * tb + i
+        start = starts_ref[t]
+        blk0 = start // bk
+        count = counts_ref[t]
+        nch = (count + bk - 1) // bk
+        tx0, ty0 = _tile_origin(t, tiles_x, tile_px)
+
+        def fwd_chunk(ci, acc):
+            gT = _read_chunk(gfeat_ref, blk0, ci, start + ci * bk, bk,
+                             aligned)
+            gx = (gT[0] - tx0)[:, None]
+            gy = (gT[1] - ty0)[:, None]
+            a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
+            cmT, _ = _cm_rows(gT)
+            dx = X - gx
+            dy = Y - gy
+            q = jnp.maximum(
+                a * dx * dx + 2.0 * b * dx * dy + c * dy * dy, 0.0)
+            slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+            live = slot < count
+            w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
+            return acc + jax.lax.dot_general(
+                cmT, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        acc = jax.lax.fori_loop(
+            0, nch, fwd_chunk, jnp.zeros((_C, P), jnp.float32))
+
+        pxv = ((tx0 + X) < W) & ((ty0 + Y) < H)  # [1, P] in-image mask
+        img = acc[0:3]
+        if clamp:
+            imgc = jnp.clip(img, 0.0, 1.0)
+            gmask = (img > 0.0) & (img < 1.0)
+        else:
+            imgc = img
+            gmask = jnp.full(img.shape, True)
+        diff = jnp.where(pxv, imgc - gt_ref[i][0:3], 0.0)  # [3, P]
+        sse = sse + jnp.sum(diff * diff)
+        Gtop = gscale * jnp.where(gmask, diff, 0.0)
+        G = jnp.concatenate(
+            [Gtop, jnp.zeros((_C - 3, P), jnp.float32)], axis=0)
+
+        def bwd_chunk(ci, _):
+            off = start + ci * bk
+            gT = _read_chunk(gfeat_ref, blk0, ci, off, bk, aligned)
+            gx = (gT[0] - tx0)[:, None]
+            gy = (gT[1] - ty0)[:, None]
+            a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
+            col0, col1, col2, op = gT[5], gT[6], gT[7], gT[8]
+            cmT, _ = _cm_rows(gT)
+            dx = X - gx
+            dy = Y - gy
+            q = jnp.maximum(
+                a * dx * dx + 2.0 * b * dx * dy + c * dy * dy, 0.0)
+            slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+            live = slot < count
+            w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
+            dw = (cmT[0][:, None] * G[0] + cmT[1][:, None] * G[1]
+                  + cmT[2][:, None] * G[2] + cmT[3][:, None] * G[3])
+            dq = (-0.5) * w * dw
+            m = jax.lax.dot_general(
+                dq, phi_m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).T
+            m0, mx, my, mxx, mxy, myy = m[0], m[1], m[2], m[3], m[4], m[5]
+            gxv, gyv = gx[:, 0], gy[:, 0]
+            av, bv, cv = a[:, 0], b[:, 0], c[:, 0]
+            cx = mx - gxv * m0
+            cy = my - gyv * m0
+            da = mxx - 2.0 * gxv * mx + gxv * gxv * m0
+            db = 2.0 * (mxy - gxv * my - gyv * mx + gxv * gyv * m0)
+            dc = myy - 2.0 * gyv * my + gyv * gyv * m0
+            dgx = -2.0 * av * cx - 2.0 * bv * cy
+            dgy = -2.0 * bv * cx - 2.0 * cv * cy
+            dcmT = jax.lax.dot_general(
+                G, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            dcol0 = dcmT[0] * op
+            dcol1 = dcmT[1] * op
+            dcol2 = dcmT[2] * op
+            dop = (dcmT[0] * col0 + dcmT[1] * col1 + dcmT[2] * col2
+                   + dcmT[3])
+            z = jnp.zeros_like(da)
+            dgT = jnp.stack([dgx, dgy, da, db, dc, dcol0, dcol1, dcol2,
+                             dop, z, z, z, z, z, z, z], axis=0)
+            live_row = (ci * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, bk), 1)) < count
+            if aligned:
+                dgfeat_ref[blk0 + ci] = jnp.where(live_row, dgT, 0.0)
+            else:
+                dg = jnp.where(live_row, dgT, 0.0).T
+                dgfeat_ref[pl.ds(off, bk), :] = (
+                    dgfeat_ref[pl.ds(off, bk), :] + dg)
+            return 0
+
+        jax.lax.fori_loop(0, nch, bwd_chunk, 0)
+        return sse
+
+    sse = jax.lax.fori_loop(0, tb, tile_body, jnp.float32(0.0))
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+    loss_ref[:] = jnp.where((row == 0) & (lane == 0), sse, 0.0)
+
+
+def _fused_l2_pallas(static2, starts, counts, gfeat, gt_tiles):
+    (tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned,
+     clamp) = static2
+    P = tile_px * tile_px
+    gscale = 2.0 / (3.0 * H * W)
+    kern = functools.partial(_fused_l2_kernel, tile_px=tile_px, tb=TB,
+                             bk=BK, q_cut=q_cut, tiles_x=tiles_x,
+                             aligned=aligned, H=H, W=W, clamp=clamp,
+                             gscale=gscale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // TB,),
+        in_specs=[
+            _stream_spec(I, BK, aligned),
+            pl.BlockSpec((TB, _C, P), lambda g_, s, c: (g_, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda g_, s, c: (g_, 0, 0)),
+            _stream_spec(I, BK, aligned),
+        ],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T // TB, 8, 128), jnp.float32),
+            (jax.ShapeDtypeStruct((I // BK, _FW, BK), jnp.float32)
+             if aligned else
+             jax.ShapeDtypeStruct((I + BK, _FW), jnp.float32)),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=I * P * 6 * (_F + _C),
+            bytes_accessed=(2 * I * _FW + T * _C * P) * 4,
+            transcendentals=2 * I * P,
+        ),
+    )(starts, counts, gfeat, gt_tiles)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _raster_l2(static2, gids, starts, counts, feat, gt_tiles):
+    out, _ = _raster_l2_fwd(static2, gids, starts, counts, feat, gt_tiles)
+    return out
+
+
+def _raster_l2_fwd(static2, gids, starts, counts, feat, gt_tiles):
+    BK, aligned = static2[2], static2[10]
+    H, W = static2[7], static2[8]
+    gfeat = (sc.gather_stream_blocks(gids, feat, BK) if aligned
+             else sc.gather_stream(gids, feat, BK))
+    loss_parts, dgfeat = _fused_l2_pallas(static2, starts, counts, gfeat,
+                                          gt_tiles)
+    mse = loss_parts.sum() / (3.0 * H * W)
+    return mse, (gids, starts, counts, feat, dgfeat, gt_tiles)
+
+
+def _raster_l2_bwd(static2, res, gbar):
+    aligned = static2[10]
+    gids, starts, counts, feat, dgfeat, gt_tiles = res
+    dfeat = (sc.scatter_block_grads(dgfeat, gids, feat) if aligned
+             else sc.scatter_stream_grads(dgfeat, gids, feat))
+    return (sc.float0_like(gids), sc.float0_like(starts),
+            sc.float0_like(counts), gbar * dfeat,
+            jnp.zeros_like(gt_tiles))
+
+
+_raster_l2.defvjp(_raster_l2_fwd, _raster_l2_bwd)
+
+
+def rasterize_gaussians_sum_l2(
+    xys: jnp.ndarray,
+    conics: jnp.ndarray,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    gt_chw: jnp.ndarray,
+    H: int,
+    W: int,
+    radii: Optional[jnp.ndarray] = None,
+    config: RasterizeConfig = RasterizeConfig(),
+    clamp: bool = True,
+) -> Tuple[jnp.ndarray, dict]:
+    """Fused train objective: mse = mean((clip(render) - gt)^2) with the
+    analytic backward computed in the same kernel pass. Numerically equal to
+    ``loss_fn(clip(rasterize(...)), gt, "L2")`` but one pallas call per step
+    (no image materialization, no XLA-side cotangent tiling).
+
+    gt_chw: [3, H, W]. Differentiable w.r.t. the four gaussian inputs.
+    """
+    cfg = config
+    N = xys.shape[0]
+    tp = cfg.tile_px
+    tiles_x = -(-W // tp)
+    tiles_y = -(-H // tp)
+    T_real = tiles_x * tiles_y
+    TB = cfg.tiles_per_step
+    T = T_real + ((-T_real) % TB)
+    BK = cfg.block_inst
+    I0 = sc.auto_max_instances(N, cfg)
+    aligned = I0 > cfg.flat_stream_limit
+
+    if radii is None:
+        radii = _radii_from_conics(jax.lax.stop_gradient(conics))
+    radii = jax.lax.stop_gradient(radii.astype(jnp.float32))
+
+    sxys = jax.lax.stop_gradient(xys).astype(jnp.float32)
+    if aligned:
+        I = I0 + T_real * BK
+        stream = bin_instances_aligned(
+            sxys, radii, tiles_x, tiles_y, tp, I, T, BK,
+            max_tiles_per_gauss=cfg.max_tiles_per_gauss)
+        gids, starts, counts = stream.gids, stream.starts, stream.counts
+    else:
+        I = I0
+        stream = bin_gaussian_instances(
+            sxys, radii, tiles_x, tiles_y, tp, I, T,
+            max_tiles_per_gauss=cfg.max_tiles_per_gauss)
+        gids, starts = stream.gids, stream.starts
+        counts = starts[1:] - starts[:-1]
+
+    feat = sc.pack_feat(xys, conics, colors, opacities)
+    gt_tiles = sc.tile_cotangent(gt_chw.astype(jnp.float32),
+                                 tp, tiles_x, T, H, W)
+    static2 = (tp, TB, BK, float(cfg.q_cut), tiles_x, T,
+               sc.use_interpret(cfg), H, W, I, aligned, bool(clamp))
+    mse = _raster_l2(static2, gids, starts, counts, feat, gt_tiles)
+    aux = {"n_dropped": stream.n_dropped,
+           "max_per_tile_used": counts.max()}
+    return mse, aux

@@ -204,3 +204,33 @@ def test_degenerate_conic_stays_finite():
     assert np.isfinite(float(val))
     for arr in grads:
         assert bool(jnp.isfinite(arr).all())
+
+
+def test_fused_l2_matches_render_plus_loss():
+    from gaussianimage_tpu.ops.rasterize_sum import rasterize_gaussians_sum_l2
+
+    N, H, W = 150, 64, 96
+    xys, radii, conics, colors, opac = _scene(N, H, W, seed=17)
+    rng = np.random.default_rng(5)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+
+    def unfused(args):
+        xys, conics, colors, opac = args
+        img, _, _ = rasterize_gaussians_sum(
+            xys, conics, colors, opac, H, W, radii=radii, config=CFG)
+        img = jnp.clip(img, 0.0, 1.0)
+        return jnp.mean((img.transpose(2, 0, 1) - gt) ** 2)
+
+    def fused(args):
+        xys, conics, colors, opac = args
+        mse, _ = rasterize_gaussians_sum_l2(
+            xys, conics, colors, opac, gt, H, W, radii=radii, config=CFG)
+        return mse
+
+    args = (xys, conics, colors, opac)
+    l1, g1 = jax.value_and_grad(unfused)(args)
+    l2, g2 = jax.value_and_grad(fused)(args)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b, name in zip(g1, g2, ("xys", "conics", "colors", "opac")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-8, err_msg=name)
