@@ -361,6 +361,28 @@ def _blend_bwd(static, res, g):
 _blend.defvjp(_blend_fwd, _blend_bwd)
 
 
+def _depth_order(depths: jnp.ndarray) -> jnp.ndarray:
+    """Front-to-back order as ONE single-key int32 sort.
+
+    jnp.argsort(stable=True) pair-sorts (key, iota) — ~10x slower on TPU.
+    Instead pack a monotonic integer transform of the (positive) depth into
+    the high bits and the index into the low bits: ties break by index
+    (stable), and depths closer than the dropped mantissa bits are visually
+    interchangeable. Falls back to argsort when N needs > 14 bits... the
+    packing adapts its split to N.
+    """
+    n = depths.shape[0]
+    id_bits = max(int(n - 1).bit_length(), 1)
+    if id_bits > 24:
+        return jnp.argsort(depths, stable=True).astype(jnp.int32)
+    d = jnp.maximum(depths.astype(jnp.float32), 0.0)
+    # monotonic int transform of a non-negative float: its bit pattern
+    key_f = jax.lax.bitcast_convert_type(d, jnp.int32) >> (id_bits + 1)
+    key = (key_f << id_bits) | jnp.arange(n, dtype=jnp.int32)
+    skey = jnp.sort(key, stable=False)
+    return (skey & ((1 << id_bits) - 1)).astype(jnp.int32)
+
+
 def rasterize_gaussians_blend(
     xys: jnp.ndarray,
     depths: jnp.ndarray,
@@ -388,8 +410,7 @@ def rasterize_gaussians_blend(
     if background is None:
         background = jnp.zeros((3,), jnp.float32)
 
-    order = jnp.argsort(jax.lax.stop_gradient(depths), stable=True)
-    order = order.astype(jnp.int32)
+    order = _depth_order(jax.lax.stop_gradient(depths))
     sxys = jax.lax.stop_gradient(xys).astype(jnp.float32)
     sradii = jax.lax.stop_gradient(radii).astype(jnp.float32)
     if aligned:

@@ -83,13 +83,13 @@ def _expand_instances(xys, radii, tiles_x, tiles_y, tile_px, M,
     return tile, live, trunc
 
 
-def _sorted_stream(tile, live, N: int, T: int):
+def _sorted_stream(tile, live, N: int, T: int, force_pair: bool = False):
     """Sort instances by tile. Returns (srank [N*M] input-order ranks with
     N*M-invalid entries pointing anywhere past the live prefix, stile-query
     bounds [T+1], dead [N*M] mask)."""
     rank = jnp.arange(N, dtype=jnp.int32)[:, None]
     id_bits = max(int(N - 1).bit_length(), 1)
-    if (T + 1) * (1 << id_bits) < 2 ** 31:
+    if not force_pair and (T + 1) * (1 << id_bits) < 2 ** 31:
         # packed single-int32 key: (tile << id_bits) | rank; dead -> INT_MAX
         key = jnp.where(live, (tile << id_bits) | rank, jnp.int32(2 ** 31 - 1))
         skey = jnp.sort(key.reshape(-1), stable=False)

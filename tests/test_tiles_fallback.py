@@ -1,0 +1,28 @@
+"""The packed-int32 sort and the stable pair-sort fallback (used when
+(tile, rank) doesn't fit 31 bits) must produce identical streams."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianimage_tpu.ops import tiles
+
+
+def test_pair_sort_fallback_matches_packed():
+    rng = np.random.default_rng(3)
+    N, tiles_x, tiles_y, tp = 300, 6, 4, 16
+    T = tiles_x * tiles_y
+    xys = jnp.asarray(rng.uniform(-10, 100, (N, 2)).astype(np.float32))
+    radii = jnp.asarray(rng.uniform(0, 25, N).astype(np.float32))
+
+    tile, live, trunc = tiles._expand_instances(
+        xys, radii, tiles_x, tiles_y, tp, 16, None)
+    packed = tiles._sorted_stream(tile, live, N, T, force_pair=False)
+    pair = tiles._sorted_stream(tile, live, N, T, force_pair=True)
+    for a, b in zip(packed, pair):
+        # srank of dead entries is arbitrary in the pair path; compare the
+        # live prefix (dead mask must agree exactly)
+        dead_a, dead_b = np.asarray(packed[1]), np.asarray(pair[1])
+        np.testing.assert_array_equal(dead_a, dead_b)
+    sr_a = np.asarray(packed[0])[~np.asarray(packed[1])]
+    sr_b = np.asarray(pair[0])[~np.asarray(pair[1])]
+    np.testing.assert_array_equal(sr_a, sr_b)
