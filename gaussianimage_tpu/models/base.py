@@ -112,8 +112,7 @@ class GaussianModelBase:
                 xys, conics, colors, opac, gt_image[0], self.cfg.H,
                 self.cfg.W, radii=radii, config=self.cfg.raster,
                 clamp=not self.cfg.no_clamp)
-            return mse, {"mse": mse, "render": None,
-                         "pkg": {"raster_aux": raux}}
+            return mse, {"mse": mse, "pkg": {"raster_aux": raux}}
         pkg = self.render(params, key=key, iteration=iteration, extra=extra)
         img = pkg["render"]
         loss = _loss_fn(img, gt_image, self.cfg.loss_type, self.cfg.lambda_value)

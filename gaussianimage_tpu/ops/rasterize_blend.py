@@ -35,9 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gaussianimage_tpu.ops import stream_common as sc
 from gaussianimage_tpu.ops.rasterize_sum import _read_chunk, _stream_spec
-from gaussianimage_tpu.ops.tiles import (bin_gaussian_instances,
-                                         bin_gaussians_per_tile,
-                                         bin_instances_aligned)
+from gaussianimage_tpu.ops.tiles import bin_gaussians_per_tile
 
 _C = 8   # padded channels: rgb + T_fin + logT_fin + 3 pad
 _FW = 16
@@ -367,13 +365,14 @@ def _depth_order(depths: jnp.ndarray) -> jnp.ndarray:
     jnp.argsort(stable=True) pair-sorts (key, iota) — ~10x slower on TPU.
     Instead pack a monotonic integer transform of the (positive) depth into
     the high bits and the index into the low bits: ties break by index
-    (stable), and depths closer than the dropped mantissa bits are visually
-    interchangeable. Falls back to argsort when N needs > 14 bits... the
-    packing adapts its split to N.
+    (stable), and depths closer than the dropped low mantissa bits are
+    visually interchangeable. Exact argsort when N needs more than 14 bits.
     """
     n = depths.shape[0]
     id_bits = max(int(n - 1).bit_length(), 1)
-    if id_bits > 24:
+    if id_bits > 14:
+        # keeping fewer than sign+8 exponent+8 mantissa depth bits would
+        # reorder genuinely different depths; fall back to exact argsort
         return jnp.argsort(depths, stable=True).astype(jnp.int32)
     d = jnp.maximum(depths.astype(jnp.float32), 0.0)
     # monotonic int transform of a non-negative float: its bit pattern
@@ -398,43 +397,26 @@ def rasterize_gaussians_blend(
     """Front-to-back alpha compositing (Pallas). Returns (img [H,W,3],
     alpha [H,W], aux). Differentiable w.r.t. xys/conics/colors/opacities."""
     cfg = config
-    N = xys.shape[0]
-    tp = cfg.tile_px
-    tiles_x, tiles_y = -(-W // tp), -(-H // tp)
-    T_real = tiles_x * tiles_y
-    TB = cfg.tiles_per_step
-    T = T_real + ((-T_real) % TB)
-    BK = cfg.block_inst
-    I0 = sc.auto_max_instances(N, cfg)
-    aligned = I0 > cfg.flat_stream_limit
     if background is None:
         background = jnp.zeros((3,), jnp.float32)
 
     order = _depth_order(jax.lax.stop_gradient(depths))
-    sxys = jax.lax.stop_gradient(xys).astype(jnp.float32)
-    sradii = jax.lax.stop_gradient(radii).astype(jnp.float32)
-    if aligned:
-        I = I0 + T_real * BK
-        stream = bin_instances_aligned(
-            sxys, sradii, tiles_x, tiles_y, tp, I, T, BK,
-            max_tiles_per_gauss=cfg.max_tiles_per_gauss, order=order)
-        gids, starts, counts = stream.gids, stream.starts, stream.counts
-    else:
-        I = I0
-        stream = bin_gaussian_instances(
-            sxys, sradii, tiles_x, tiles_y, tp, I, T,
-            max_tiles_per_gauss=cfg.max_tiles_per_gauss, order=order)
-        gids, starts = stream.gids, stream.starts
-        counts = starts[1:] - starts[:-1]
+    sp = sc.prepare_stream(
+        jax.lax.stop_gradient(xys).astype(jnp.float32),
+        jax.lax.stop_gradient(radii).astype(jnp.float32),
+        H, W, cfg, order=order)
+    gids, starts, counts = sp.gids, sp.starts, sp.counts
 
     feat = sc.pack_feat(xys, conics, colors, opacities)
-    static = (tp, TB, BK, tiles_x, T, sc.use_interpret(cfg),
-              H, W, I, float(cfg.alpha_clip), float(cfg.alpha_min), aligned)
+    static = (cfg.tile_px, cfg.tiles_per_step, cfg.block_inst, sp.tiles_x,
+              sp.T, sc.use_interpret(cfg), H, W, sp.I,
+              float(cfg.alpha_clip), float(cfg.alpha_min), sp.aligned)
     rgb, tfin = _blend(static, gids, starts, counts, feat)
     img = rgb + tfin[..., None] * background[None, None]
     alpha = 1.0 - tfin
 
-    aux = {"n_dropped": stream.n_dropped,
+    T_real = sp.tiles_x * (-(-H // cfg.tile_px))
+    aux = {"n_dropped": sp.n_dropped,
            "max_count": counts[:T_real].max()}
     return img, alpha, aux
 

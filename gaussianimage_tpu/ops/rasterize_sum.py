@@ -55,7 +55,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gaussianimage_tpu.ops import stream_common as sc
-from gaussianimage_tpu.ops.tiles import bin_gaussian_instances, bin_instances_aligned
 
 _C = 8   # padded channel count: rgb + alpha + 4 pad (sublane-aligned)
 _F = 8   # quadratic-form feature count (6 used + 2 pad)
@@ -164,6 +163,70 @@ def _fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
     jax.lax.fori_loop(0, tb, tile_body, 0)
 
 
+def _bwd_chunk_store(gfeat_ref, dgfeat_ref, G, blk0, start, ci, count,
+                     tx0, ty0, X, Y, phi_m, *, bk, q_cut, aligned):
+    """One backward chunk: recompute weights, analytic slot gradients via
+    the pixel-moment contraction, store [16, BK] into the grad stream.
+    Shared by _bwd_kernel and _fused_l2_kernel (one copy of the math)."""
+    off = start + ci * bk
+    gT = _read_chunk(gfeat_ref, blk0, ci, off, bk, aligned)
+    gx = (gT[0] - tx0)[:, None]
+    gy = (gT[1] - ty0)[:, None]
+    a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
+    col0, col1, col2, op = gT[5], gT[6], gT[7], gT[8]
+    cmT, _ = _cm_rows(gT)
+    dx = X - gx
+    dy = Y - gy
+    q = jnp.maximum(a * dx * dx + 2.0 * b * dx * dy + c * dy * dy, 0.0)
+    slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+    live = slot < count
+    w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
+    # dL/dw[k,p] = sum_c cm[c,k] G[c,p] — 4 rank-1 VPU updates
+    dw = (cmT[0][:, None] * G[0] + cmT[1][:, None] * G[1]
+          + cmT[2][:, None] * G[2] + cmT[3][:, None] * G[3])
+    dq = (-0.5) * w * dw  # cutoff + live already folded into w
+    # pixel moments m = [m0, mx, my, mxx, mxy, myy] of dq; tile-local
+    # coordinates keep the recombination cancellation-safe in f32
+    m = jax.lax.dot_general(
+        dq, phi_m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).T  # [8, BK]
+    m0, mx, my, mxx, mxy, myy = m[0], m[1], m[2], m[3], m[4], m[5]
+    gxv, gyv = gx[:, 0], gy[:, 0]
+    av, bv, cv = a[:, 0], b[:, 0], c[:, 0]
+    cx = mx - gxv * m0   # sum_p dq * (x - gx)
+    cy = my - gyv * m0
+    da = mxx - 2.0 * gxv * mx + gxv * gxv * m0
+    db = 2.0 * (mxy - gxv * my - gyv * mx + gxv * gyv * m0)
+    dc = myy - 2.0 * gyv * my + gyv * gyv * m0
+    dgx = -2.0 * av * cx - 2.0 * bv * cy
+    dgy = -2.0 * bv * cx - 2.0 * cv * cy
+    # dcm[c,k] = sum_p G[c,p] w[k,p] (contraction over P -> MXU)
+    dcmT = jax.lax.dot_general(
+        G, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [8, BK]
+    dcol0 = dcmT[0] * op
+    dcol1 = dcmT[1] * op
+    dcol2 = dcmT[2] * op
+    dop = dcmT[0] * col0 + dcmT[1] * col1 + dcmT[2] * col2 + dcmT[3]
+    z = jnp.zeros_like(da)
+    dgT = jnp.stack([dgx, dgy, da, db, dc, dcol0, dcol1, dcol2,
+                     dop, z, z, z, z, z, z, z], axis=0)  # [16, BK]
+    live_row = (ci * bk + jax.lax.broadcasted_iota(
+        jnp.int32, (1, bk), 1)) < count
+    if aligned:
+        # aligned windows: each block belongs to exactly one tile —
+        # a plain full-block store is collision-free
+        dgfeat_ref[blk0 + ci] = jnp.where(live_row, dgT, 0.0)
+    else:
+        # a tile's last chunk overlaps the NEXT tile's window; the
+        # masked += keeps neighbours intact (sequential grid)
+        dg = jnp.where(live_row, dgT, 0.0).T  # [BK, 16]
+        dgfeat_ref[pl.ds(off, bk), :] = (
+            dgfeat_ref[pl.ds(off, bk), :] + dg)
+
+
 def _bwd_kernel(starts_ref, counts_ref, gfeat_ref, g_ref, dgfeat_ref,
                 *, tile_px, tb, bk, q_cut, tiles_x, aligned):
     P = tile_px * tile_px
@@ -191,70 +254,9 @@ def _bwd_kernel(starts_ref, counts_ref, gfeat_ref, g_ref, dgfeat_ref,
         G = g_ref[i]  # [C, P]
 
         def chunk_body(ci, _):
-            off = start + ci * bk
-            gT = _read_chunk(gfeat_ref, blk0, ci, off, bk, aligned)
-            gx = (gT[0] - tx0)[:, None]
-            gy = (gT[1] - ty0)[:, None]
-            a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
-            col0, col1, col2, op = gT[5], gT[6], gT[7], gT[8]
-            cmT, _ = _cm_rows(gT)
-            dx = X - gx
-            dy = Y - gy
-            # clamp: for near-degenerate conics (QAT can quantize a
-            # Cholesky diagonal to ~1e-4) the f32 form cancels ~1e11-scale
-            # terms and can go spuriously negative, which would pass the
-            # q_cut gate and overflow exp()
-            q = jnp.maximum(
-                a * dx * dx + 2.0 * b * dx * dy + c * dy * dy, 0.0)
-            slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
-            live = slot < count
-            w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
-            # dL/dw[k,p] = sum_c cm[c,k] G[c,p] — 4 rank-1 VPU updates
-            dw = (cmT[0][:, None] * G[0] + cmT[1][:, None] * G[1]
-                  + cmT[2][:, None] * G[2] + cmT[3][:, None] * G[3])
-            dq = (-0.5) * w * dw  # cutoff + live already folded into w
-            # pixel moments of dq via ONE MXU contraction against phi_m,
-            # recombined per instance (tile-local centers keep the
-            # recombination cancellation-safe in f32)
-            m = jax.lax.dot_general(
-                dq, phi_m, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST).T  # [8, BK]
-            m0, mx, my, mxx, mxy, myy = m[0], m[1], m[2], m[3], m[4], m[5]
-            gxv, gyv = gx[:, 0], gy[:, 0]
-            av, bv, cv = a[:, 0], b[:, 0], c[:, 0]
-            cx = mx - gxv * m0   # sum_p dq * (x - gx)
-            cy = my - gyv * m0
-            da = mxx - 2.0 * gxv * mx + gxv * gxv * m0
-            db = 2.0 * (mxy - gxv * my - gyv * mx + gxv * gyv * m0)
-            dc = myy - 2.0 * gyv * my + gyv * gyv * m0
-            dgx = -2.0 * av * cx - 2.0 * bv * cy
-            dgy = -2.0 * bv * cx - 2.0 * cv * cy
-            # dcm[c,k] = sum_p G[c,p] w[k,p] (contraction over P -> MXU)
-            dcmT = jax.lax.dot_general(
-                G, w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # [8, BK]
-            dcol0 = dcmT[0] * op
-            dcol1 = dcmT[1] * op
-            dcol2 = dcmT[2] * op
-            dop = (dcmT[0] * col0 + dcmT[1] * col1 + dcmT[2] * col2
-                   + dcmT[3])
-            z = jnp.zeros_like(da)
-            dgT = jnp.stack([dgx, dgy, da, db, dc, dcol0, dcol1, dcol2,
-                             dop, z, z, z, z, z, z, z], axis=0)  # [16, BK]
-            live_row = (ci * bk + jax.lax.broadcasted_iota(
-                jnp.int32, (1, bk), 1)) < count
-            if aligned:
-                # aligned windows: each block belongs to exactly one tile —
-                # a plain full-block store is collision-free
-                dgfeat_ref[blk0 + ci] = jnp.where(live_row, dgT, 0.0)
-            else:
-                # a tile's last chunk overlaps the NEXT tile's window; the
-                # masked += keeps neighbours intact (sequential grid)
-                dg = jnp.where(live_row, dgT, 0.0).T  # [BK, 16]
-                dgfeat_ref[pl.ds(off, bk), :] = (
-                    dgfeat_ref[pl.ds(off, bk), :] + dg)
+            _bwd_chunk_store(gfeat_ref, dgfeat_ref, G, blk0, start, ci,
+                             count, tx0, ty0, X, Y, phi_m, bk=bk,
+                             q_cut=q_cut, aligned=aligned)
             return 0
 
         jax.lax.fori_loop(0, nch, chunk_body, 0)
@@ -407,47 +409,24 @@ def rasterize_gaussians_sum(
     gaussianimage_cholesky.py:83-84).
     """
     cfg = config
-    N = xys.shape[0]
-    tp = cfg.tile_px
-    tiles_x = -(-W // tp)
-    tiles_y = -(-H // tp)
-    T_real = tiles_x * tiles_y
-    TB = cfg.tiles_per_step
-    T = T_real + ((-T_real) % TB)
-    BK = cfg.block_inst
-    I0 = sc.auto_max_instances(N, cfg)
-    aligned = I0 > cfg.flat_stream_limit
-
     if radii is None:
         radii = _radii_from_conics(jax.lax.stop_gradient(conics))
     radii = jax.lax.stop_gradient(radii.astype(jnp.float32))
-
-    sxys = jax.lax.stop_gradient(xys).astype(jnp.float32)
-    if aligned:
-        # capacity + per-live-tile alignment padding (whole blocks)
-        I = I0 + T_real * BK
-        stream = bin_instances_aligned(
-            sxys, radii, tiles_x, tiles_y, tp, I, T, BK,
-            max_tiles_per_gauss=cfg.max_tiles_per_gauss)
-        gids, starts, counts = stream.gids, stream.starts, stream.counts
-    else:
-        I = I0
-        stream = bin_gaussian_instances(
-            sxys, radii, tiles_x, tiles_y, tp, I, T,
-            max_tiles_per_gauss=cfg.max_tiles_per_gauss)
-        gids, starts = stream.gids, stream.starts
-        counts = starts[1:] - starts[:-1]
+    sp = sc.prepare_stream(jax.lax.stop_gradient(xys).astype(jnp.float32),
+                           radii, H, W, cfg)
+    gids, starts, counts = sp.gids, sp.starts, sp.counts
 
     feat = sc.pack_feat(xys, conics, colors, opacities)
-    static = (tp, TB, BK, float(cfg.q_cut), tiles_x, T,
-              sc.use_interpret(cfg), H, W, I, aligned)
+    static = (cfg.tile_px, cfg.tiles_per_step, cfg.block_inst,
+              float(cfg.q_cut), sp.tiles_x, sp.T,
+              sc.use_interpret(cfg), H, W, sp.I, sp.aligned)
     img, alpha = _raster(static, gids, starts, counts, feat)
 
-    aux = {"n_dropped": stream.n_dropped,
+    aux = {"n_dropped": sp.n_dropped,
            "max_per_tile_used": counts.max(),
            # legacy keys kept for monitoring call sites
-           "n_dropped_fwd": stream.n_dropped,
-           "n_dropped_bwd": stream.n_dropped}
+           "n_dropped_fwd": sp.n_dropped,
+           "n_dropped_bwd": sp.n_dropped}
     return img, alpha, aux
 
 
@@ -521,57 +500,9 @@ def _fused_l2_kernel(starts_ref, counts_ref, gfeat_ref, gt_ref,
             [Gtop, jnp.zeros((_C - 3, P), jnp.float32)], axis=0)
 
         def bwd_chunk(ci, _):
-            off = start + ci * bk
-            gT = _read_chunk(gfeat_ref, blk0, ci, off, bk, aligned)
-            gx = (gT[0] - tx0)[:, None]
-            gy = (gT[1] - ty0)[:, None]
-            a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
-            col0, col1, col2, op = gT[5], gT[6], gT[7], gT[8]
-            cmT, _ = _cm_rows(gT)
-            dx = X - gx
-            dy = Y - gy
-            q = jnp.maximum(
-                a * dx * dx + 2.0 * b * dx * dy + c * dy * dy, 0.0)
-            slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
-            live = slot < count
-            w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
-            dw = (cmT[0][:, None] * G[0] + cmT[1][:, None] * G[1]
-                  + cmT[2][:, None] * G[2] + cmT[3][:, None] * G[3])
-            dq = (-0.5) * w * dw
-            m = jax.lax.dot_general(
-                dq, phi_m, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST).T
-            m0, mx, my, mxx, mxy, myy = m[0], m[1], m[2], m[3], m[4], m[5]
-            gxv, gyv = gx[:, 0], gy[:, 0]
-            av, bv, cv = a[:, 0], b[:, 0], c[:, 0]
-            cx = mx - gxv * m0
-            cy = my - gyv * m0
-            da = mxx - 2.0 * gxv * mx + gxv * gxv * m0
-            db = 2.0 * (mxy - gxv * my - gyv * mx + gxv * gyv * m0)
-            dc = myy - 2.0 * gyv * my + gyv * gyv * m0
-            dgx = -2.0 * av * cx - 2.0 * bv * cy
-            dgy = -2.0 * bv * cx - 2.0 * cv * cy
-            dcmT = jax.lax.dot_general(
-                G, w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            dcol0 = dcmT[0] * op
-            dcol1 = dcmT[1] * op
-            dcol2 = dcmT[2] * op
-            dop = (dcmT[0] * col0 + dcmT[1] * col1 + dcmT[2] * col2
-                   + dcmT[3])
-            z = jnp.zeros_like(da)
-            dgT = jnp.stack([dgx, dgy, da, db, dc, dcol0, dcol1, dcol2,
-                             dop, z, z, z, z, z, z, z], axis=0)
-            live_row = (ci * bk + jax.lax.broadcasted_iota(
-                jnp.int32, (1, bk), 1)) < count
-            if aligned:
-                dgfeat_ref[blk0 + ci] = jnp.where(live_row, dgT, 0.0)
-            else:
-                dg = jnp.where(live_row, dgT, 0.0).T
-                dgfeat_ref[pl.ds(off, bk), :] = (
-                    dgfeat_ref[pl.ds(off, bk), :] + dg)
+            _bwd_chunk_store(gfeat_ref, dgfeat_ref, G, blk0, start, ci,
+                             count, tx0, ty0, X, Y, phi_m, bk=bk,
+                             q_cut=q_cut, aligned=aligned)
             return 0
 
         jax.lax.fori_loop(0, nch, bwd_chunk, 0)
@@ -673,42 +604,20 @@ def rasterize_gaussians_sum_l2(
     gt_chw: [3, H, W]. Differentiable w.r.t. the four gaussian inputs.
     """
     cfg = config
-    N = xys.shape[0]
-    tp = cfg.tile_px
-    tiles_x = -(-W // tp)
-    tiles_y = -(-H // tp)
-    T_real = tiles_x * tiles_y
-    TB = cfg.tiles_per_step
-    T = T_real + ((-T_real) % TB)
-    BK = cfg.block_inst
-    I0 = sc.auto_max_instances(N, cfg)
-    aligned = I0 > cfg.flat_stream_limit
-
     if radii is None:
         radii = _radii_from_conics(jax.lax.stop_gradient(conics))
     radii = jax.lax.stop_gradient(radii.astype(jnp.float32))
-
-    sxys = jax.lax.stop_gradient(xys).astype(jnp.float32)
-    if aligned:
-        I = I0 + T_real * BK
-        stream = bin_instances_aligned(
-            sxys, radii, tiles_x, tiles_y, tp, I, T, BK,
-            max_tiles_per_gauss=cfg.max_tiles_per_gauss)
-        gids, starts, counts = stream.gids, stream.starts, stream.counts
-    else:
-        I = I0
-        stream = bin_gaussian_instances(
-            sxys, radii, tiles_x, tiles_y, tp, I, T,
-            max_tiles_per_gauss=cfg.max_tiles_per_gauss)
-        gids, starts = stream.gids, stream.starts
-        counts = starts[1:] - starts[:-1]
+    sp = sc.prepare_stream(jax.lax.stop_gradient(xys).astype(jnp.float32),
+                           radii, H, W, cfg)
+    gids, starts, counts = sp.gids, sp.starts, sp.counts
 
     feat = sc.pack_feat(xys, conics, colors, opacities)
     gt_tiles = sc.tile_cotangent(gt_chw.astype(jnp.float32),
-                                 tp, tiles_x, T, H, W)
-    static2 = (tp, TB, BK, float(cfg.q_cut), tiles_x, T,
-               sc.use_interpret(cfg), H, W, I, aligned, bool(clamp))
+                                 cfg.tile_px, sp.tiles_x, sp.T, H, W)
+    static2 = (cfg.tile_px, cfg.tiles_per_step, cfg.block_inst,
+               float(cfg.q_cut), sp.tiles_x, sp.T,
+               sc.use_interpret(cfg), H, W, sp.I, sp.aligned, bool(clamp))
     mse = _raster_l2(static2, gids, starts, counts, feat, gt_tiles)
-    aux = {"n_dropped": stream.n_dropped,
+    aux = {"n_dropped": sp.n_dropped,
            "max_per_tile_used": counts.max()}
     return mse, aux

@@ -121,3 +121,50 @@ def scatter_block_grads(dgblocks, gids, feat):
     dg = dgblocks.transpose(0, 2, 1).reshape(I, FW)
     dfeat = jnp.zeros_like(feat).at[gids].add(dg)
     return dfeat.at[N].set(0.0)
+
+
+class StreamPrep:
+    """Binning products + static stream geometry shared by all rasterizer
+    entry points (sum, fused-L2, blend). One implementation of the
+    flat-vs-aligned layout decision and capacity formula."""
+
+    __slots__ = ("gids", "starts", "counts", "n_dropped",
+                 "tiles_x", "T", "I", "aligned")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def prepare_stream(xys, radii, H: int, W: int, cfg, order=None) -> StreamPrep:
+    """xys/radii already stop_gradient'ed float32. cfg needs tile_px,
+    tiles_per_step, block_inst, max_tiles_per_gauss, max_instances,
+    flat_stream_limit."""
+    from gaussianimage_tpu.ops import tiles as _tiles
+
+    N = xys.shape[0]
+    tp = cfg.tile_px
+    TB = cfg.tiles_per_step
+    BK = cfg.block_inst
+    tiles_x = -(-W // tp)
+    tiles_y = -(-H // tp)
+    T_real = tiles_x * tiles_y
+    T = T_real + ((-T_real) % TB)
+    I0 = auto_max_instances(N, cfg)
+    aligned = I0 > cfg.flat_stream_limit
+    if aligned:
+        I = I0 + T_real * BK  # headroom for per-live-tile block padding
+        st = _tiles.bin_instances_aligned(
+            xys, radii, tiles_x, tiles_y, tp, I, T, BK,
+            max_tiles_per_gauss=cfg.max_tiles_per_gauss, order=order)
+        gids, starts, counts = st.gids, st.starts, st.counts
+    else:
+        I = I0
+        st = _tiles.bin_gaussian_instances(
+            xys, radii, tiles_x, tiles_y, tp, I, T,
+            max_tiles_per_gauss=cfg.max_tiles_per_gauss, order=order)
+        gids, starts = st.gids, st.starts
+        counts = starts[1:] - starts[:-1]
+    return StreamPrep(gids=gids, starts=starts, counts=counts,
+                      n_dropped=st.n_dropped, tiles_x=tiles_x, T=T, I=I,
+                      aligned=aligned)

@@ -78,19 +78,23 @@ def main(argv=None):
     logwriter = LogWriter(root)
     logwriter.write(f"mesh axes: {axes} over {len(jax.devices())} devices")
 
-    # group the dataset into data-axis-sized batches of equal-shape images
+    # group the dataset into data-axis-sized batches of equal-shape images;
+    # bucket by shape first so mixed-orientation datasets (kodak has both
+    # 768x512 and 512x768) still fit every image
     items = list(iterate_dataset(args.data_name, args.dataset))
+    by_shape = {}
+    for name, im in items:
+        by_shape.setdefault(im.shape, []).append((name, im))
+    groups = []
+    for shape_items in by_shape.values():
+        for base in range(0, len(shape_items), D):
+            groups.append(shape_items[base:base + D])
     stats = []
-    for base in range(0, len(items), D):
-        group = items[base:base + D]
+    for group in groups:
+        group = list(group)
         while len(group) < D:  # pad the tail group by repeating its last
             group.append(group[-1])
         names = [n for n, _ in group]
-        shapes = {im.shape for _, im in group}
-        if len(shapes) != 1:
-            logwriter.write(f"skipping mixed-shape group {names}: {shapes} "
-                            "(use --shape_bucket-style padding upstream)")
-            continue
         images = np.concatenate([im for _, im in group], axis=0)
         H, W = images.shape[2], images.shape[3]
         model = make_model(
