@@ -64,7 +64,7 @@ class Gaussian3D(GaussianModelBase):
             [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 8.0], [0, 0, 0, 1.0]],
             np.float32)
         self.translation = np.asarray([[0.0, 0.0, -8.0]], np.float32)
-        self.blend_cfg = BlendConfig()
+        self.blend_cfg = BlendConfig(tile_px=32, max_tiles_per_gauss=36)
 
     def init_params(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
