@@ -5,7 +5,7 @@ categorical model, 16-bit quantized frequencies, 16-bit renorm words.
 
 The C extension is built on first use with g++ into csrc/librans.so (cached);
 if no compiler is available the NumPy implementation is used. Both produce an
-identical bitstream (tests/test_rans.py checks cross-decoding).
+identical bitstream (tests/test_codec.py checks cross-decoding).
 """
 
 from __future__ import annotations

@@ -22,7 +22,15 @@ DATASET_SPECS = {
     "DIV2K_valid_LRX2": (100, 800),
     "synthetic": (2, 0),
     "synthetic_large": (24, 0),
+    # real photographs committed in-repo (sklearn's bundled china/flower
+    # sample photos, 1.5:1 aspect like Kodak, bicubic-resized to 768x512) —
+    # the kodim01 north-star proxy for this zero-egress environment
+    "photos": (2, 0),
+    "photos_native": (2, 0),  # same photos at their native 640x427
 }
+
+_PHOTO_NAMES = ("china", "flower")
+_REPO_DATA = Path(__file__).resolve().parent.parent / "data"
 
 
 def dataset_image_name(data_name: str, i: int) -> str:
@@ -34,6 +42,8 @@ def dataset_image_name(data_name: str, i: int) -> str:
         return f"test{i + 1:02}"
     if data_name.startswith("synthetic"):
         return f"synth{i + 1:02}"
+    if data_name.startswith("photos"):
+        return _PHOTO_NAMES[i]
     raise ValueError(f"unknown dataset {data_name}")
 
 
@@ -49,6 +59,11 @@ def iterate_dataset(
         name = dataset_image_name(data_name, i)
         if data_name.startswith("synthetic"):
             yield name, synthetic_image(*image_hw, seed=i)
+            continue
+        if data_name.startswith("photos"):
+            size = "640x427" if data_name == "photos_native" else "768x512"
+            yield name, image_path_to_array(
+                _REPO_DATA / f"{_PHOTO_NAMES[i]}_{size}.png")
             continue
         if data_name in ("kodak", "kodak_small"):
             path = Path(dataset_dir) / f"kodim{i + 1:02}.png"

@@ -178,19 +178,27 @@ class GaussianModelBase:
         extra = self.update_extra(state.extra, params, aux, iteration)
         params = self.post_update(params, extra, iteration)
         psnr = 10.0 * jnp.log10(1.0 / jnp.maximum(aux["mse"], 1e-12))
-        return TrainState(params, opt_state, extra), {"loss": loss, "psnr": psnr}
+        raux = aux.get("pkg", {}).get("raster_aux", None)
+        n_dropped = (jnp.asarray(raux["n_dropped"], jnp.int32)
+                     if raux is not None else jnp.int32(0))
+        return TrainState(params, opt_state, extra), {
+            "loss": loss, "psnr": psnr, "n_dropped": n_dropped}
 
     def train_chunk(self, state: TrainState, gt_image, key, start_iteration,
                     n_steps: int):
-        """Scan ``n_steps`` train steps on device; returns per-step metrics."""
+        """Scan ``n_steps`` train steps on device. Returns (state, metrics)
+        with per-step ``loss``/``psnr`` arrays plus ``n_dropped_max``, the
+        chunk's worst instance-stream overflow (so a fit that outgrows the
+        stream cap warns during training, not just at final test)."""
 
         def body(carry, i):
             st, = carry
             k = (jax.random.fold_in(key, i) if key is not None else None)
             st, m = self.train_step(st, gt_image, key=k,
                                     iteration=start_iteration + i)
-            return (st,), (m["loss"], m["psnr"])
+            return (st,), (m["loss"], m["psnr"], m["n_dropped"])
 
-        (state,), (losses, psnrs) = jax.lax.scan(
+        (state,), (losses, psnrs, dropped) = jax.lax.scan(
             body, (state,), jnp.arange(n_steps))
-        return state, losses, psnrs
+        return state, {"loss": losses, "psnr": psnrs,
+                       "n_dropped_max": dropped.max()}

@@ -182,6 +182,21 @@ class GaussianImageCholeskyMask(GaussianImageCholesky):
         kl = tgt * jnp.log(tgt / rho) + (1 - tgt) * jnp.log((1 - tgt) / (1 - rho))
         return jnp.mean(kl)
 
+    # -- QAT / codec ------------------------------------------------------------
+    def _rasterize_quantized(self, params, means, geo, colors):
+        """QAT/codec rasterize with the deterministic mask folded into
+        opacity (reference forward_quantize gates opacity with the mask,
+        gaussianimage_cholesky_wMask.py:392-547). Without this, a
+        fitted-but-unpruned model would quantize with every gaussian at
+        opacity 1 and decode a different image than it trained."""
+        from gaussianimage_tpu.models.cholesky import CHOLESKY_BOUND
+
+        chol = geo["cholesky"] + CHOLESKY_BOUND
+        det = (jax.nn.sigmoid(params["_mask_logits"]) > 0.5).astype(
+            jnp.float32)
+        img, alpha, aux, _, _ = self._rasterize(means, chol, colors, det)
+        return img, alpha, aux
+
     # -- EMA + finalization ----------------------------------------------------
     def update_extra(self, extra, params, aux, iteration):
         mc = self.mask_cfg
@@ -213,7 +228,10 @@ class GaussianImageCholeskyMask(GaussianImageCholesky):
 
         probs = np.asarray(jax.nn.sigmoid(state.params["_mask_logits"]))[:, 0]
         keep = probs > threshold
-        params = {k: jnp.asarray(np.asarray(v)[keep])
+        # only per-gaussian leaves shrink; global leaves (e.g. the learned
+        # quantizer scale/beta, per-channel) pass through unchanged
+        params = {k: (jnp.asarray(np.asarray(v)[keep])
+                      if getattr(v, "shape", ())[:1] == (len(keep),) else v)
                   for k, v in state.params.items()}
         print(f"Pruned points: {len(keep)} to {int(keep.sum())} points.")
         opt = self._optimizer()

@@ -39,8 +39,9 @@ VQ_SPEC = dict(dim=3, codebook_size=8, num_quantizers=2, kmeans_iters=5,
 
 
 class QuantizeMixin:
-    """Requires: self.cfg, get_xyz/get_features, _cov_param_names(),
-    _rasterize_quantized(params_like...)."""
+    """Requires: self.cfg, get_xyz/get_features, and the hooks
+    _uq_channels() / _uq_raw_values(params) /
+    _rasterize_quantized(params, means, geo, colors)."""
 
     # ---- quantizer objects (stateless; state lives in params/extra) -----
     @property
@@ -225,36 +226,47 @@ class QuantizeMixin:
         H, W = self.cfg.H, self.cfg.W
         N = params["_xyz"].shape[0]
         position_bits = N * 2 * 16
-        cov_bits = sum(
-            self._uq_side_bits(params, name)
-            + np.asarray(enc[f"quant_{name}"]).size * 6
-            for name in self._uq_channels())
+        per_name = {
+            name: (self._uq_side_bits(params, name)
+                   + np.asarray(enc[f"quant_{name}"]).size * 6)
+            for name in self._uq_channels()}
+        cov_bits = sum(per_name.values())
         idx = np.asarray(enc["feature_dc_index"])
         max_bit = max(int(np.ceil(np.log2(max(idx.max(), 1) + 1e-9))), 1)
         feature_bits = self._codebook_bits(extra) + idx.size * max_bit
         total = position_bits + cov_bits + feature_bits
-        return {"bpp": total / H / W,
-                "position_bpp": position_bits / H / W,
-                "cholesky_bpp": cov_bits / H / W,
-                "feature_dc_bpp": feature_bits / H / W}
+        out = {"bpp": total / H / W,
+               "position_bpp": position_bits / H / W,
+               "cholesky_bpp": cov_bits / H / W,
+               "feature_dc_bpp": feature_bits / H / W}
+        # per-component covariance keys (the RS reference reports separate
+        # scaling_bpp / rotation_bpp, gaussianimage_rs.py:186-192)
+        for name, bits in per_name.items():
+            out.setdefault(f"{name}_bpp", bits / H / W)
+        return out
 
     def analysis(self, params, extra, enc: Dict) -> Dict[str, float]:
         """bpp with the real entropy-coded stream sizes (reference :242-283)."""
         H, W = self.cfg.H, self.cfg.W
         N = params["_xyz"].shape[0]
         position_bits = N * 2 * 16
-        cov_bits = 0
+        per_name = {}
         for name in self._uq_channels():
             words, counts, uniq = compress_categorical(
                 np.asarray(enc[f"quant_{name}"], np.int32))
-            cov_bits += (self._uq_side_bits(params, name) + np_bits(words)
-                         + np_bits(counts) + np_bits(uniq))
+            per_name[name] = (self._uq_side_bits(params, name)
+                              + np_bits(words) + np_bits(counts)
+                              + np_bits(uniq))
+        cov_bits = sum(per_name.values())
         words, counts, uniq = compress_categorical(
             np.asarray(enc["feature_dc_index"], np.int32))
         feature_bits = (self._codebook_bits(extra) + np_bits(words)
                         + np_bits(counts) + np_bits(uniq))
         total = position_bits + cov_bits + feature_bits
-        return {"bpp": total / H / W,
-                "position_bpp": position_bits / H / W,
-                "cholesky_bpp": cov_bits / H / W,
-                "feature_dc_bpp": feature_bits / H / W}
+        out = {"bpp": total / H / W,
+               "position_bpp": position_bits / H / W,
+               "cholesky_bpp": cov_bits / H / W,
+               "feature_dc_bpp": feature_bits / H / W}
+        for name, bits in per_name.items():
+            out.setdefault(f"{name}_bpp", bits / H / W)
+        return out

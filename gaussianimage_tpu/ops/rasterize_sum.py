@@ -7,25 +7,28 @@ TPU-first design (v4, instance-stream kernel — the CUDA pipeline's shape,
 re-derived for a sequential-grid vector machine):
 
 - XLA builds a tile-sorted instance stream (ops/tiles.py): expand each
-  gaussian into its overlapped tiles, ONE packed-int32 non-stable sort,
-  searchsorted window bounds per tile. No scatter, no histogram.
+  gaussian into the tiles overlapped by its EXACT anisotropic bbox
+  (rx = sqrt(q_cut*cov_xx), ry = sqrt(q_cut*cov_yy) — strictly tighter than
+  the 3-sigma circle, same rendered pixels), ONE packed-int32 non-stable
+  sort, unrolled-searchsorted window bounds per tile. No scatter, no
+  histogram. The per-gaussian span cap adapts to the stream budget
+  (stream_common.prepare_stream) so the sort is O(3 * stream cap).
 - ONE row gather feat[N+1, 16] -> gfeat[I, 16] puts every instance's packed
-  features (xy, conic, color, opacity) in stream order. The zero row at
-  index N absorbs dead slots. All other per-slot work happens INSIDE the
-  kernel — XLA-side per-slot elementwise/stack ops compile to [T*K, 1]-
-  shaped fusions with 1/128 lane utilization (~2.5 ms/frame measured on
-  v5e), which is why v3 was memory-glue-bound.
+  features (xy, conic, PREMULTIPLIED colors o*rgb, opacity) in stream
+  order; rows 5..8 are the kernel's color matrix directly, and the
+  premult chain rule to raw colors/opacity lives in pack_feat's VJP. The
+  zero row at index N absorbs dead slots. All other per-slot work happens
+  INSIDE the kernel — XLA-side per-slot elementwise/stack ops compile to
+  [T*K, 1]-shaped fusions with 1/128 lane utilization (~2.5 ms/frame
+  measured on v5e), which is why v3 was memory-glue-bound.
 - The kernel (PrefetchScalarGridSpec, per-tile window bounds in SMEM) walks
   each tile's [starts[t], starts[t+1]) window with a DATA-DEPENDENT
   fori_loop trip count: work is proportional to the instances that actually
   exist, not to a per-tile capacity. Per chunk of BK instances:
-    psi^T [8, BK]  built from gfeat rows (tile-local quadratic form)
-    q  = psi^T^T . phi [8, P]              (MXU, contraction 8)
+    q[BK, P] = a dx^2 + 2b dx dy + c dy^2 on tile-local offsets (VPU; no
+               cancellation — dx, dy are tile-small)
     w  = where(q <= q_cut & live, exp(-0.5 q), 0)     (VPU)
-    acc[8, P] += cm^T [8, BK] . w [BK, P]  (MXU, contraction BK)
-  phi = (x^2, y^2, xy, x, y, 1, 0, 0) on tile-local pixels; tile-local
-  coordinates keep every psi term bounded (~conic * (radius + tile)^2) so
-  f32 stays accurate.
+    acc[4, P] += cm^T [4, BK] . w [BK, P]  (MXU, contraction BK)
 - No sorting by depth, no atomics: the sum is commutative, each output tile
   is written once, per-instance gradients go to disjoint stream rows, and
   the one segment scatter-add back onto the N gaussians is a deterministic
@@ -39,9 +42,9 @@ re-derived for a sequential-grid vector machine):
   cutoff-oracle sum (core.render_ref.render_sum_dense(q_cut=9)) exactly,
   up to instance-stream overflow which is reported in aux.
 
-Channel layout: cm rows = (o*r, o*g, o*b, o, 0..0) so channel 3 yields the
+Channel layout: cm rows = (o*r, o*g, o*b, o) so channel 3 yields the
 accumulated alpha map for free; the image is produced in tiled layout
-[T, 8, tile_px^2] and rearranged in XLA.
+[T, 4, tile_px^2] and rearranged in XLA.
 """
 
 from __future__ import annotations
@@ -56,7 +59,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gaussianimage_tpu.ops import stream_common as sc
 
-_C = 8   # padded channel count: rgb + alpha + 4 pad (sublane-aligned)
+_C = 4   # output channel count: rgb + alpha (half the HBM traffic of the
+#   sublane-aligned 8; Mosaic pads the 4-sublane tiles in VMEM but the HBM
+#   image/cotangent buffers stay compact)
 _F = 8   # quadratic-form feature count (6 used + 2 pad)
 _FW = 16  # packed per-gaussian feature width (9 used + 7 pad, lane-friendly)
 
@@ -93,12 +98,10 @@ def _phi(tile_px: int):
 
 
 def _cm_rows(gT):
-    """cm^T [8, BK] (color*opacity rows + alpha row) from packed rows."""
-    col0, col1, col2, op = gT[5], gT[6], gT[7], gT[8]
-    z = jnp.zeros_like(op)
-    cmT = jnp.stack([col0 * op, col1 * op, col2 * op, op, z, z, z, z],
-                    axis=0)  # [8, BK]
-    return cmT, op
+    """cm^T [8, BK] (premultiplied color rows ro,go,bo + alpha row o + 4 zero
+    pad rows) — with the premultiplied packing (sc.pack_feat(premultiply=
+    True)) this is just a contiguous sublane slice of the chunk."""
+    return gT[5:5 + _C]
 
 
 def _tile_origin(t, tiles_x, tile_px):
@@ -136,7 +139,7 @@ def _fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
             gx = (gT[0] - tx0)[:, None]  # [BK, 1] tile-local centers
             gy = (gT[1] - ty0)[:, None]
             a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
-            cmT, op = _cm_rows(gT)
+            cmT = _cm_rows(gT)
             # direct quadratic form on pixel offsets (pure VPU, no
             # cancellation: dx, dy are tile-small)
             dx = X - gx  # [BK, P]
@@ -173,8 +176,7 @@ def _bwd_chunk_store(gfeat_ref, dgfeat_ref, G, blk0, start, ci, count,
     gx = (gT[0] - tx0)[:, None]
     gy = (gT[1] - ty0)[:, None]
     a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
-    col0, col1, col2, op = gT[5], gT[6], gT[7], gT[8]
-    cmT, _ = _cm_rows(gT)
+    cmT = _cm_rows(gT)
     dx = X - gx
     dy = Y - gy
     q = jnp.maximum(a * dx * dx + 2.0 * b * dx * dy + c * dy * dy, 0.0)
@@ -201,18 +203,17 @@ def _bwd_chunk_store(gfeat_ref, dgfeat_ref, G, blk0, start, ci, count,
     dc = myy - 2.0 * gyv * my + gyv * gyv * m0
     dgx = -2.0 * av * cx - 2.0 * bv * cy
     dgy = -2.0 * bv * cx - 2.0 * cv * cy
-    # dcm[c,k] = sum_p G[c,p] w[k,p] (contraction over P -> MXU)
+    # dcm[c,k] = sum_p G[c,p] w[k,p] (contraction over P -> MXU). Rows 0..3
+    # are the gradients w.r.t. the premultiplied packed rows (ro, go, bo, o);
+    # the chain rule to raw colors/opacity lives in pack_feat's VJP.
     dcmT = jax.lax.dot_general(
         G, w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)  # [8, BK]
-    dcol0 = dcmT[0] * op
-    dcol1 = dcmT[1] * op
-    dcol2 = dcmT[2] * op
-    dop = dcmT[0] * col0 + dcmT[1] * col1 + dcmT[2] * col2 + dcmT[3]
-    z = jnp.zeros_like(da)
-    dgT = jnp.stack([dgx, dgy, da, db, dc, dcol0, dcol1, dcol2,
-                     dop, z, z, z, z, z, z, z], axis=0)  # [16, BK]
+    dgeo = jnp.stack([dgx, dgy, da, db, dc], axis=0)  # [5, BK]
+    dgT = jnp.concatenate(
+        [dgeo, dcmT[0:4], jnp.zeros((_FW - 9, bk), jnp.float32)],
+        axis=0)  # [16, BK]
     live_row = (ci * bk + jax.lax.broadcasted_iota(
         jnp.int32, (1, bk), 1)) < count
     if aligned:
@@ -350,7 +351,8 @@ def _raster_fwd(static, gids, starts, counts, feat):
     tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned = static
     gfeat = _gather(static, gids, feat)
     out_tiled = _fwd_pallas(static, starts, counts, gfeat)
-    full = sc.untile_channels(out_tiled, tile_px, tiles_x, H, W)
+    full = sc.untile_channels(out_tiled, tile_px, tiles_x, H, W,
+                              n_chan=_C)
     img, alpha = full[:3].transpose(1, 2, 0), full[3]
     return (img, alpha), (gids, starts, counts, feat)
 
@@ -362,7 +364,7 @@ def _raster_bwd(static, res, g):
     gfeat = _gather(static, gids, feat)  # cheap recompute
     G = sc.tile_cotangent(
         jnp.concatenate([d_img.transpose(2, 0, 1), d_alpha[None]], axis=0),
-        tile_px, tiles_x, T, H, W)
+        tile_px, tiles_x, T, H, W, n_chan=_C)
     dgrads = _bwd_pallas(static, starts, counts, gfeat, G)
     if aligned:
         dfeat = sc.scatter_block_grads(dgrads, gids, feat)
@@ -389,6 +391,24 @@ def _radii_from_conics(conics: jnp.ndarray, sigma_mult: float = 3.0) -> jnp.ndar
     return jnp.ceil(sigma_mult / jnp.sqrt(lam_min))
 
 
+def _axis_radii(conics, radii, q_cut):
+    """Exact per-axis extents (rx, ry) of the q <= q_cut ellipse for binning.
+
+    cov = conic^-1, extent_x = sqrt(q_cut * cov_xx) = sqrt(q_cut * c / det).
+    Strictly tighter than the lambda_max circle for anisotropic gaussians
+    (identical pixels survive the kernel's q <= q_cut gate either way).
+    ``radii`` (the projection's 3-sigma circle) is kept as cull gate and
+    upper bound so radii == 0 still means "skip this gaussian".
+    """
+    a, b, c = conics[:, 0], conics[:, 1], conics[:, 2]
+    det = jnp.maximum(a * c - b * b, 1e-12)
+    rx = jnp.sqrt(q_cut * jnp.maximum(c, 0.0) / det)
+    ry = jnp.sqrt(q_cut * jnp.maximum(a, 0.0) / det)
+    live = radii > 0
+    return (jnp.where(live, jnp.minimum(rx, radii), 0.0),
+            jnp.where(live, jnp.minimum(ry, radii), 0.0))
+
+
 def rasterize_gaussians_sum(
     xys: jnp.ndarray,
     conics: jnp.ndarray,
@@ -412,11 +432,12 @@ def rasterize_gaussians_sum(
     if radii is None:
         radii = _radii_from_conics(jax.lax.stop_gradient(conics))
     radii = jax.lax.stop_gradient(radii.astype(jnp.float32))
+    rxy = _axis_radii(jax.lax.stop_gradient(conics), radii, cfg.q_cut)
     sp = sc.prepare_stream(jax.lax.stop_gradient(xys).astype(jnp.float32),
-                           radii, H, W, cfg)
+                           rxy, H, W, cfg)
     gids, starts, counts = sp.gids, sp.starts, sp.counts
 
-    feat = sc.pack_feat(xys, conics, colors, opacities)
+    feat = sc.pack_feat(xys, conics, colors, opacities, premultiply=True)
     static = (cfg.tile_px, cfg.tiles_per_step, cfg.block_inst,
               float(cfg.q_cut), sp.tiles_x, sp.T,
               sc.use_interpret(cfg), H, W, sp.I, sp.aligned)
@@ -469,7 +490,7 @@ def _fused_l2_kernel(starts_ref, counts_ref, gfeat_ref, gt_ref,
             gx = (gT[0] - tx0)[:, None]
             gy = (gT[1] - ty0)[:, None]
             a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
-            cmT, _ = _cm_rows(gT)
+            cmT = _cm_rows(gT)
             dx = X - gx
             dy = Y - gy
             q = jnp.maximum(
@@ -607,13 +628,15 @@ def rasterize_gaussians_sum_l2(
     if radii is None:
         radii = _radii_from_conics(jax.lax.stop_gradient(conics))
     radii = jax.lax.stop_gradient(radii.astype(jnp.float32))
+    rxy = _axis_radii(jax.lax.stop_gradient(conics), radii, cfg.q_cut)
     sp = sc.prepare_stream(jax.lax.stop_gradient(xys).astype(jnp.float32),
-                           radii, H, W, cfg)
+                           rxy, H, W, cfg)
     gids, starts, counts = sp.gids, sp.starts, sp.counts
 
-    feat = sc.pack_feat(xys, conics, colors, opacities)
+    feat = sc.pack_feat(xys, conics, colors, opacities, premultiply=True)
     gt_tiles = sc.tile_cotangent(gt_chw.astype(jnp.float32),
-                                 cfg.tile_px, sp.tiles_x, sp.T, H, W)
+                                 cfg.tile_px, sp.tiles_x, sp.T, H, W,
+                                 n_chan=_C)
     static2 = (cfg.tile_px, cfg.tiles_per_step, cfg.block_inst,
                float(cfg.q_cut), sp.tiles_x, sp.T,
                sc.use_interpret(cfg), H, W, sp.I, sp.aligned, bool(clamp))

@@ -34,16 +34,27 @@ def auto_max_instances(n: int, cfg) -> int:
     return -(-cap // cfg.block_inst) * cfg.block_inst
 
 
-def pack_feat(xys, conics, colors, opac):
+def pack_feat(xys, conics, colors, opac, premultiply: bool = False):
     """[N+1, 16] rows (xy, conic a b c, rgb, opacity, pad); the zero row at
-    index N absorbs dead-slot reads and dead-slot gradient scatters."""
+    index N absorbs dead-slot reads and dead-slot gradient scatters.
+
+    premultiply=True stores opacity-premultiplied colors (the sum kernel's cm
+    rows) so rows 5..12 ARE the kernel's [8, BK] color matrix — a contiguous
+    sublane slice instead of an in-kernel stack + multiply. The row-gradient
+    chain rule back to raw (colors, opacity) then happens automatically in
+    this function's VJP. The blend kernel needs raw colors (compositing
+    multiplies by alpha, not opacity) and packs with premultiply=False."""
     N = xys.shape[0]
+    op = opac.reshape(N, 1).astype(jnp.float32)
+    cols = colors.astype(jnp.float32)
+    if premultiply:
+        cols = cols * op
     return jnp.concatenate([
         jnp.concatenate([
             xys.astype(jnp.float32),
             conics.astype(jnp.float32),
-            colors.astype(jnp.float32),
-            opac.reshape(N, 1).astype(jnp.float32),
+            cols,
+            op,
             jnp.zeros((N, FW - 9), jnp.float32),
         ], axis=1),
         jnp.zeros((1, FW), jnp.float32),
@@ -75,32 +86,36 @@ def float0_like(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-def untile_channels(out_tiled, tile_px: int, tiles_x: int, H: int, W: int):
-    """[T, C, P] tile blocks -> [C, H, W] image channels (crop padding)."""
+def untile_channels(out_tiled, tile_px: int, tiles_x: int, H: int, W: int,
+                    n_chan: int = C):
+    """[T, n_chan, P] tile blocks -> [n_chan, H, W] channels (crop pad)."""
     tp = tile_px
     tiles_y = -(-H // tp)
     T_real = tiles_x * tiles_y
     return (out_tiled[:T_real]
-            .reshape(tiles_y, tiles_x, C, tp, tp)
+            .reshape(tiles_y, tiles_x, n_chan, tp, tp)
             .transpose(2, 0, 3, 1, 4)
-            .reshape(C, tiles_y * tp, tiles_x * tp))[:, :H, :W]
+            .reshape(n_chan, tiles_y * tp, tiles_x * tp))[:, :H, :W]
 
 
-def tile_cotangent(chans, tile_px: int, tiles_x: int, T: int, H: int, W: int):
-    """[k<=C, H, W] cotangent channels -> [T, C, P] tile blocks (zero pad)."""
+def tile_cotangent(chans, tile_px: int, tiles_x: int, T: int, H: int, W: int,
+                   n_chan: int = C):
+    """[k<=n_chan, H, W] cotangent channels -> [T, n_chan, P] tile blocks
+    (zero pad)."""
     tp = tile_px
     tiles_y = -(-H // tp)
     T_real = tiles_x * tiles_y
     Hp, Wp = tiles_y * tp, tiles_x * tp
-    buf = jnp.zeros((C, Hp, Wp), jnp.float32)
+    buf = jnp.zeros((n_chan, Hp, Wp), jnp.float32)
     buf = jax.lax.dynamic_update_slice(buf, chans.astype(jnp.float32),
                                        (0, 0, 0))
-    G = (buf.reshape(C, tiles_y, tp, tiles_x, tp)
+    G = (buf.reshape(n_chan, tiles_y, tp, tiles_x, tp)
          .transpose(1, 3, 0, 2, 4)
-         .reshape(T_real, C, tp * tp))
+         .reshape(T_real, n_chan, tp * tp))
     if T != T_real:
         G = jnp.concatenate(
-            [G, jnp.zeros((T - T_real, C, tp * tp), jnp.float32)], axis=0)
+            [G, jnp.zeros((T - T_real, n_chan, tp * tp), jnp.float32)],
+            axis=0)
     return G
 
 
@@ -151,18 +166,23 @@ def prepare_stream(xys, radii, H: int, W: int, cfg, order=None) -> StreamPrep:
     T_real = tiles_x * tiles_y
     T = T_real + ((-T_real) % TB)
     I0 = auto_max_instances(N, cfg)
+    # per-gaussian span cap: the binning sort costs O(N * M), so tie M to
+    # the stream budget (3x the average per-gaussian slot allowance, floor 8)
+    # instead of always paying the configured worst case — the stream cap
+    # I0 would truncate demand beyond that anyway, and overflow is counted
+    m_span = min(cfg.max_tiles_per_gauss, max(8, -(-3 * I0 // max(N, 1))))
     aligned = I0 > cfg.flat_stream_limit
     if aligned:
         I = I0 + T_real * BK  # headroom for per-live-tile block padding
         st = _tiles.bin_instances_aligned(
             xys, radii, tiles_x, tiles_y, tp, I, T, BK,
-            max_tiles_per_gauss=cfg.max_tiles_per_gauss, order=order)
+            max_tiles_per_gauss=m_span, order=order)
         gids, starts, counts = st.gids, st.starts, st.counts
     else:
         I = I0
         st = _tiles.bin_gaussian_instances(
             xys, radii, tiles_x, tiles_y, tp, I, T,
-            max_tiles_per_gauss=cfg.max_tiles_per_gauss, order=order)
+            max_tiles_per_gauss=m_span, order=order)
         gids, starts = st.gids, st.starts
         counts = starts[1:] - starts[:-1]
     return StreamPrep(gids=gids, starts=starts, counts=counts,

@@ -50,36 +50,52 @@ class InstanceStream(NamedTuple):
     n_dropped: jnp.ndarray  # [] int32: instances lost to caps (monitoring)
 
 
+def _split_radii(radii):
+    """Accept isotropic [N] radii or an anisotropic (rx, ry) pair.
+
+    The 3-sigma circle radius bounds the gaussian's q<=9 ellipse, but its
+    axis-aligned bbox is exactly x in +-3*sqrt(cov_xx), y in +-3*sqrt(cov_yy)
+    — strictly tighter for anisotropic gaussians, so callers that know the
+    conic pass (rx, ry) and bin fewer instances for the same exact render.
+    """
+    if isinstance(radii, tuple):
+        return radii
+    return radii, radii
+
+
 def _expand_instances(xys, radii, tiles_x, tiles_y, tile_px, M,
                       order: Optional[jnp.ndarray]):
-    """(tile [N, M], live [N, M], n_truncated) — bbox tile spans, row-major,
-    capped at M instances per gaussian."""
+    """(tile [M, N], live [M, N], n_truncated) — bbox tile spans, capped at
+    M instances per gaussian. Slot-major [M, N] layout keeps the minor dim
+    large (N lanes, vs M=~16 at 1/8 lane utilization the other way)."""
+    rx, ry = _split_radii(radii)
     if order is not None:
         xs = xys[order]
-        rs = radii[order]
+        rx = rx[order]
+        ry = ry[order]
     else:
         xs = xys
-        rs = radii
     x = xs[:, 0]
     y = xs[:, 1]
-    r = rs.astype(jnp.float32)
+    rx = rx.astype(jnp.float32)
+    ry = ry.astype(jnp.float32)
 
-    x0 = jnp.clip(jnp.floor((x - r) / tile_px), 0, tiles_x - 1).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((x + r) / tile_px), 0, tiles_x - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((y - r) / tile_px), 0, tiles_y - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((y + r) / tile_px), 0, tiles_y - 1).astype(jnp.int32)
-    inside = ((r > 0)
-              & (x + r >= 0) & (x - r < tiles_x * tile_px)
-              & (y + r >= 0) & (y - r < tiles_y * tile_px))
+    x0 = jnp.clip(jnp.floor((x - rx) / tile_px), 0, tiles_x - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((x + rx) / tile_px), 0, tiles_x - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((y - ry) / tile_px), 0, tiles_y - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((y + ry) / tile_px), 0, tiles_y - 1).astype(jnp.int32)
+    inside = ((rx > 0) & (ry > 0)
+              & (x + rx >= 0) & (x - rx < tiles_x * tile_px)
+              & (y + ry >= 0) & (y - ry < tiles_y * tile_px))
     span_w = x1 - x0 + 1
     area = span_w * (y1 - y0 + 1)
     trunc = jnp.where(inside, jnp.maximum(area - M, 0), 0).sum()
 
-    jj = jnp.arange(M, dtype=jnp.int32)[None, :]
-    jx = jj % span_w[:, None]
-    jy = jj // span_w[:, None]
-    tile = (y0[:, None] + jy) * tiles_x + (x0[:, None] + jx)  # [N, M]
-    live = inside[:, None] & (jj < jnp.minimum(area, M)[:, None])
+    jj = jnp.arange(M, dtype=jnp.int32)[:, None]
+    jx = jj % span_w[None, :]
+    jy = jj // span_w[None, :]
+    tile = (y0[None, :] + jy) * tiles_x + (x0[None, :] + jx)  # [M, N]
+    live = inside[None, :] & (jj < jnp.minimum(area, M)[None, :])
     return tile, live, trunc
 
 
@@ -87,7 +103,7 @@ def _sorted_stream(tile, live, N: int, T: int, force_pair: bool = False):
     """Sort instances by tile. Returns (srank [N*M] input-order ranks with
     N*M-invalid entries pointing anywhere past the live prefix, stile-query
     bounds [T+1], dead [N*M] mask)."""
-    rank = jnp.arange(N, dtype=jnp.int32)[:, None]
+    rank = jnp.arange(N, dtype=jnp.int32)[None, :]  # [1, N] (slot-major tile)
     id_bits = max(int(N - 1).bit_length(), 1)
     if not force_pair and (T + 1) * (1 << id_bits) < 2 ** 31:
         # packed single-int32 key: (tile << id_bits) | rank; dead -> INT_MAX
@@ -98,12 +114,11 @@ def _sorted_stream(tile, live, N: int, T: int, force_pair: bool = False):
         bounds_keys = skey
         queries = jnp.arange(T + 1, dtype=jnp.int32) << id_bits
     else:
-        # stable pair sort by tile only — stability preserves input (rank)
-        # order within a tile; int64 packing is unavailable (x64 disabled)
+        # lexicographic (tile, rank) pair sort — same (tile, rank) order as
+        # the packed key; int64 packing is unavailable (x64 disabled)
         tile_flat = jnp.where(live, tile, T).reshape(-1)
         rank_flat = jnp.broadcast_to(rank, tile.shape).reshape(-1)
-        stile, srank = jax.lax.sort((tile_flat, rank_flat), num_keys=1,
-                                    is_stable=True)
+        stile, srank = jax.lax.sort((tile_flat, rank_flat), num_keys=2)
         dead = stile >= T
         bounds_keys = stile
         queries = jnp.arange(T + 1, dtype=jnp.int32)
@@ -131,7 +146,7 @@ def bin_gaussians_per_tile(
         xys, radii, tiles_x, tiles_y, tile_px, M, order)
     srank, _, bounds_keys, queries = _sorted_stream(tile, live, N, T)
 
-    bounds = jnp.searchsorted(bounds_keys, queries).astype(jnp.int32)
+    bounds = jnp.searchsorted(bounds_keys, queries, method='scan_unrolled').astype(jnp.int32)
     starts = bounds[:-1]
     counts_full = bounds[1:] - starts
     counts = jnp.minimum(counts_full, K)
@@ -176,7 +191,7 @@ def bin_gaussian_instances(
         ordered = jnp.concatenate(
             [order.astype(jnp.int32), jnp.asarray([N], jnp.int32)])
         gids = ordered[gids]
-    bounds = jnp.minimum(jnp.searchsorted(bounds_keys, queries), I
+    bounds = jnp.minimum(jnp.searchsorted(bounds_keys, queries, method='scan_unrolled'), I
                          ).astype(jnp.int32)  # [T+1]
     starts = jnp.concatenate([
         bounds,
@@ -234,7 +249,7 @@ def bin_instances_aligned(
             [order.astype(jnp.int32), jnp.asarray([N], jnp.int32)])
         gids_sorted = ordered[gids_sorted]
 
-    bounds = jnp.searchsorted(bounds_keys, queries).astype(jnp.int32)  # [T+1]
+    bounds = jnp.searchsorted(bounds_keys, queries, method='scan_unrolled').astype(jnp.int32)  # [T+1]
     counts_real = bounds[1:] - bounds[:-1]
     acounts = -(-counts_real // block) * block
     astarts = jnp.concatenate(

@@ -1,4 +1,8 @@
-from gaussianimage_tpu.parallel.mesh import make_mesh, mesh_axes_for
+from gaussianimage_tpu.parallel.mesh import (
+    make_mesh,
+    maybe_initialize_distributed,
+    mesh_axes_for,
+)
 from gaussianimage_tpu.parallel.fit import (
     init_sharded_fit,
     make_sharded_train_step,
@@ -7,6 +11,7 @@ from gaussianimage_tpu.parallel.fit import (
 
 __all__ = [
     "make_mesh",
+    "maybe_initialize_distributed",
     "mesh_axes_for",
     "init_sharded_fit",
     "make_sharded_train_step",

@@ -16,12 +16,16 @@ images — SURVEY.md §2.3). Here one jitted step composes all three axes:
 Loss is restricted to L2 in the sharded path (window-based SSIM losses would
 need halo exchange across tile shards; L2 is the canonical GaussianImage
 config, reference train.py:105).
+
+Optimizer-state leaves are classified batched-vs-global by comparing against
+an ``eval_shape`` template of the unbatched state (a leaf is data-batched iff
+it gained exactly one leading dim), so optimizers with 1-D per-gaussian or
+2-D global state shard correctly — not by a leaf-rank heuristic.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,18 +36,20 @@ from jax.sharding import PartitionSpec as P
 from gaussianimage_tpu.ops import rasterize_gaussians_sum
 
 
-def _param_spec(leaf, data_axis, gauss_axis):
-    if leaf.ndim >= 2:
-        return P(data_axis, gauss_axis)
-    if leaf.ndim == 1:
-        return P(data_axis)
-    return P()
+def _opt_batched_mask(model, opt, batched_opt_state):
+    """Bool pytree: True where an opt-state leaf carries the leading [D]
+    data-batch dim (its rank is template-rank + 1)."""
+    template = jax.eval_shape(
+        lambda k: opt.init(model.init_params(k)), jax.random.PRNGKey(0))
+    return jax.tree.map(
+        lambda b, t: hasattr(b, "ndim") and b.ndim == t.ndim + 1,
+        batched_opt_state, template)
 
 
 def sharded_render(model, mesh: Mesh, params_local, tile_idx, n_tiles: int):
     """Per-shard render of the local tile row-slice using the local Gaussian
-    shard; returns [H/t, W, 3] AFTER the gauss-axis psum. Call inside
-    shard_map."""
+    shard; returns ([H/t, W, 3], n_dropped) AFTER the gauss-axis psum. Call
+    inside shard_map."""
     cfg = model.cfg
     assert cfg.H % (n_tiles * cfg.raster.tile_px) == 0, (
         "H must split into whole raster tiles across the tile axis")
@@ -51,13 +57,13 @@ def sharded_render(model, mesh: Mesh, params_local, tile_idx, n_tiles: int):
     xys, radii, conics, colors, opac = model.splat(params_local)
     offset = jnp.stack([jnp.zeros((), jnp.float32),
                         (tile_idx * h_loc).astype(jnp.float32)])
-    img, _, _ = rasterize_gaussians_sum(
+    img, _, aux = rasterize_gaussians_sum(
         xys - offset, conics, colors, opac, h_loc, cfg.W,
         radii=radii, config=cfg.raster)
     img = jax.lax.psum(img, "gauss")
     if not cfg.no_clamp:
         img = jnp.clip(img, 0.0, 1.0)
-    return img  # [h_loc, W, 3]
+    return img, aux["n_dropped"]  # [h_loc, W, 3], scalar
 
 
 def make_sharded_train_step(model, mesh: Mesh, n_steps: int = 1):
@@ -69,7 +75,9 @@ def make_sharded_train_step(model, mesh: Mesh, n_steps: int = 1):
       gt:        [D, 3, H, W]      sharded P("data", None, "tile", None)
       start_iteration: scalar int
 
-    Returns (params, opt_state, loss [D], psnr [D]) with per-image metrics.
+    Returns (params, opt_state, loss [D], psnr [D], n_dropped_max [D]) with
+    per-image metrics; n_dropped_max is the chunk's worst instance-stream
+    overflow (overflow must surface during training, VERDICT r1 #5).
     """
     cfg = model.cfg
     assert cfg.loss_type == "L2", "sharded path supports the canonical L2 loss"
@@ -77,23 +85,23 @@ def make_sharded_train_step(model, mesh: Mesh, n_steps: int = 1):
     n_tiles = mesh.shape[tile_ax]
     opt = model._optimizer()
 
-    def shard_fn(params, opt_state, gt, start_iteration):
+    def shard_fn(obatched, params, opt_state, gt, start_iteration):
         # local leaves: params [1, Nloc, k], gt [1, 3, Hloc, W]
         tile_idx = jax.lax.axis_index(tile_ax)
         p_loc = jax.tree.map(lambda x: x[0], params)
         o_loc = jax.tree.map(
-            lambda x: x[0] if (hasattr(x, "ndim") and x.ndim >= 2) else x,
-            opt_state)
+            lambda b, x: x[0] if b else x, obatched, opt_state)
         gt_loc = gt[0]  # [3, Hloc, W]
 
         def one_step(carry, i):
             p, o = carry
 
             def loss_fn(pp):
-                img = sharded_render(model, mesh, pp, tile_idx, n_tiles)
-                return jnp.mean((img.transpose(2, 0, 1) - gt_loc) ** 2)
+                img, nd = sharded_render(model, mesh, pp, tile_idx, n_tiles)
+                return jnp.mean((img.transpose(2, 0, 1) - gt_loc) ** 2), nd
 
-            loss, grads = jax.value_and_grad(loss_fn)(p)
+            (loss, nd), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
             # gradient all-reduce across tile shards (params replicated there)
             grads = jax.tree.map(
                 lambda g: jax.lax.psum(g, tile_ax) / n_tiles, grads)
@@ -101,31 +109,33 @@ def make_sharded_train_step(model, mesh: Mesh, n_steps: int = 1):
             updates, o = opt.update(grads, o, p)
             p = optax.apply_updates(p, updates)
             psnr = 10.0 * jnp.log10(1.0 / jnp.maximum(loss, 1e-12))
-            return (p, o), (loss, psnr)
+            return (p, o), (loss, psnr, nd)
 
-        (p_loc, o_loc), (losses, psnrs) = jax.lax.scan(
+        (p_loc, o_loc), (losses, psnrs, dropped) = jax.lax.scan(
             one_step, (p_loc, o_loc), start_iteration + jnp.arange(n_steps))
 
         params = jax.tree.map(lambda x: x[None], p_loc)
         opt_state = jax.tree.map(
-            lambda x: x[None] if (hasattr(x, "ndim") and x.ndim >= 2) else x,
-            o_loc)
-        return params, opt_state, losses[-1][None], psnrs[-1][None]
-
-    def specs_like(tree, batched: bool):
-        def leaf_spec(x):
-            if hasattr(x, "ndim") and x.ndim >= 2 and batched:
-                return P(data_ax, gauss_ax)
-            return P()
-        return jax.tree.map(leaf_spec, tree)
+            lambda b, x: x[None] if b else x, obatched, o_loc)
+        nd_max = jax.lax.pmax(jax.lax.pmax(dropped.max(), tile_ax), gauss_ax)
+        return params, opt_state, losses[-1][None], psnrs[-1][None], \
+            nd_max[None]
 
     def build(params, opt_state, gt):
-        in_specs = (specs_like(params, True), specs_like(opt_state, True),
+        obatched = _opt_batched_mask(model, opt, opt_state)
+
+        def specs_like(tree, mask):
+            return jax.tree.map(
+                lambda x, b: P(data_ax, gauss_ax) if b else P(), tree, mask)
+
+        pmask = jax.tree.map(lambda x: True, params)
+        in_specs = (specs_like(params, pmask), specs_like(opt_state, obatched),
                     P(data_ax, None, tile_ax, None), P())
-        out_specs = (specs_like(params, True), specs_like(opt_state, True),
-                     P(data_ax), P(data_ax))
-        fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
-                           out_specs=out_specs, check_vma=False)
+        out_specs = (specs_like(params, pmask), specs_like(opt_state, obatched),
+                     P(data_ax), P(data_ax), P(data_ax))
+        fn = jax.shard_map(functools.partial(shard_fn, obatched), mesh=mesh,
+                           in_specs=in_specs, out_specs=out_specs,
+                           check_vma=False)
         return jax.jit(fn, donate_argnums=(0, 1))
 
     return build
@@ -142,13 +152,14 @@ def init_sharded_fit(model, mesh: Mesh, images, seed: int = 1):
     params = jax.vmap(model.init_params)(keys)  # leaves [D, N, k]
     opt = model._optimizer()
     opt_state = opt.init(params)  # moment leaves mirror [D, N, k]
+    obatched = _opt_batched_mask(model, opt, opt_state)
 
-    def pspec(x):
-        return NamedSharding(
-            mesh, P("data", "gauss") if x.ndim >= 2 else P())
+    def put(x, batched):
+        spec = P("data", "gauss") if batched else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
-    params = jax.tree.map(lambda x: jax.device_put(x, pspec(x)), params)
-    opt_state = jax.tree.map(lambda x: jax.device_put(x, pspec(x)), opt_state)
+    params = jax.tree.map(lambda x: put(x, True), params)
+    opt_state = jax.tree.map(put, opt_state, obatched)
     gt = jax.device_put(jnp.asarray(images, jnp.float32),
                         NamedSharding(mesh, P("data", None, "tile", None)))
     return params, opt_state, gt

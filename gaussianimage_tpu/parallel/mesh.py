@@ -1,4 +1,4 @@
-"""Device mesh construction.
+"""Device mesh construction + multi-process runtime init.
 
 The reference is single-GPU (torch.device("cuda:0") everywhere, SURVEY.md
 §2.3); multi-chip scaling is a new first-class subsystem here. Axes:
@@ -10,17 +10,41 @@ The reference is single-GPU (torch.device("cuda:0") everywhere, SURVEY.md
 - ``tile``  shard image tile-rows; parameter gradients combine with one
             psum per backward (the sequence-parallel analog)
 
-On multi-host slices jax.make_mesh lays axes out so that the inner axes
-(``gauss``/``tile`` — the ones that psum every step) ride ICI while ``data``
-(no per-step collectives) spans DCN.
+Multi-host: ``maybe_initialize_distributed()`` wires the JAX distributed
+runtime when launched under a multi-process coordinator, and ``make_mesh``
+lays ``data`` across hosts (its shards never communicate per step) while the
+per-step-psum axes ``gauss``/``tile`` stay within a host so their collectives
+ride ICI, not DCN.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
 from jax.sharding import Mesh
+
+
+def maybe_initialize_distributed() -> bool:
+    """Call ``jax.distributed.initialize()`` when a multi-process launch is
+    detected (explicit coordinator env, or a SLURM/TPU-pod environment JAX
+    can auto-detect). Safe no-op for single-process runs and repeat calls.
+
+    Returns True if the distributed runtime is (now) initialized.
+    """
+    if jax.process_count() > 1:  # already initialized by someone else
+        return True
+    want = any(os.environ.get(k) for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "SLURM_JOB_NUM_NODES", "TPU_WORKER_HOSTNAMES"))
+    if not want:
+        return False
+    try:
+        jax.distributed.initialize()
+        return True
+    except RuntimeError:
+        return jax.process_count() > 1  # e.g. already initialized
 
 
 def mesh_axes_for(n_devices: int, want_data: bool = True,
@@ -48,9 +72,24 @@ def mesh_axes_for(n_devices: int, want_data: bool = True,
 
 def make_mesh(axis_sizes: Optional[Dict[str, int]] = None,
               devices=None) -> Mesh:
+    """Build the (data, gauss, tile) mesh.
+
+    Multi-process: devices are ordered host-major (jax.devices() groups by
+    process), and ``data`` is the mesh's MAJOR axis — so when the data-axis
+    size is a multiple of the host count, each (gauss, tile) block lands
+    entirely within one host. The per-step psum collectives then ride ICI;
+    only data-axis work (none per step — independent fits) would cross DCN.
+    """
     devices = devices if devices is not None else jax.devices()
     if axis_sizes is None:
         axis_sizes = mesh_axes_for(len(devices))
-    names = tuple(axis_sizes.keys())
-    shape = tuple(axis_sizes.values())
+    # data first = slowest-varying axis over the host-major device list
+    order = [k for k in ("data", "gauss", "tile") if k in axis_sizes]
+    order += [k for k in axis_sizes if k not in order]
+    names = tuple(order)
+    shape = tuple(axis_sizes[k] for k in order)
+    if jax.process_count() > 1:
+        import numpy as np
+        arr = np.asarray(devices).reshape(shape)
+        return Mesh(arr, names)
     return jax.make_mesh(shape, names, devices=devices)

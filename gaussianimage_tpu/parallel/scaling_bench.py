@@ -1,11 +1,18 @@
 """Sharded-fit scaling probe (SURVEY.md §2.3 north star: pixels/s scaling
 across mesh sizes).
 
-Runs the full sharded train step (data x gauss x tile axes, psum-combined
-renders and gradients) at increasing device counts and reports pixels/s and
-parallel efficiency. On this machine it runs on the 8-virtual-device CPU
-mesh (functional validation + relative scaling of the XLA SPMD program); on
-a real multi-chip TPU slice the same code measures hardware scaling.
+Two measurements, both running the full sharded train step (psum-combined
+renders and gradients):
+
+- **strong**: ONE fixed image / point count; devices split the work over the
+  (gauss, tile) axes. Efficiency = pixels/s / (single-device pixels/s * n).
+- **weak_data**: n independent images over the ``data`` axis (the dataset-
+  sweep configuration). Total pixels/s should scale ~linearly; efficiency is
+  against the same single-device baseline.
+
+On this machine it runs on the 8-virtual-device CPU mesh (functional
+validation + relative scaling of the XLA SPMD program); on a real multi-chip
+TPU slice the same code measures hardware scaling.
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python -m gaussianimage_tpu.parallel.scaling_bench
@@ -21,51 +28,85 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run(n_steps: int = 20, H: int = 64, W: int = 96, N: int = 512):
+def _axes_compute(nd: int):
+    """Split nd devices over (gauss, tile) only — strong scaling."""
+    tile = 1
+    gauss = nd
+    if nd % 2 == 0:
+        tile, gauss = 2, nd // 2
+    return {"data": 1, "gauss": gauss, "tile": tile}
+
+
+def _time_steps(step, params, opt_state, gt, n_steps, reps=3):
+    out = step(params, opt_state, gt, jnp.asarray(1))
+    jax.block_until_ready(out[0])  # warmup + compile
+    best = float("inf")
+    for r in range(reps):
+        t0 = time.time()
+        out = step(out[0], out[1], gt, jnp.asarray(r * n_steps + 1))
+        _ = np.asarray(out[2])  # force completion
+        best = min(best, time.time() - t0)
+    return best
+
+
+def run(n_steps: int = 20, H: int = 256, W: int = 256, N: int = 4096):
     from gaussianimage_tpu.models import make_model
     from gaussianimage_tpu.ops import RasterizeConfig
     from gaussianimage_tpu.parallel import (
-        init_sharded_fit, make_mesh, make_sharded_train_step, mesh_axes_for)
+        init_sharded_fit, make_mesh, make_sharded_train_step)
     from gaussianimage_tpu.utils.image_io import synthetic_image
 
     n_dev_total = len(jax.devices())
     sizes = [d for d in (1, 2, 4, 8, 16) if d <= n_dev_total]
-    results = []
-    for nd in sizes:
-        axes = mesh_axes_for(nd)
-        mesh = make_mesh(axes)
-        raster = RasterizeConfig(tile_px=16)
-        model = make_model("GaussianImage_Cholesky", num_points=N,
-                           H=H * axes["tile"], W=W, raster=raster,
-                           block_h=16, block_w=16)
-        D = axes["data"]
+    raster = RasterizeConfig(tile_px=16)
+
+    def build_and_time(axes, D):
+        mesh = make_mesh(dict(axes))
+        model = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                           raster=raster, block_h=16, block_w=16)
         images = np.concatenate(
-            [synthetic_image(H * axes["tile"], W, seed=i) for i in range(D)],
-            axis=0)
+            [synthetic_image(H, W, seed=i) for i in range(D)], axis=0)
         params, opt_state, gt = init_sharded_fit(model, mesh, images)
         step = make_sharded_train_step(model, mesh, n_steps=n_steps)(
             params, opt_state, gt)
-        step_fn = step if callable(step) else None
-        if step_fn is None:
-            # make_sharded_train_step returns a builder in some versions
-            step_fn = make_sharded_train_step(model, mesh, n_steps=n_steps)
-        out = step_fn(params, opt_state, gt, jnp.asarray(1)) \
-            if callable(step_fn) else None
-        jax.block_until_ready(out[0])
-        t0 = time.time()
-        out = step_fn(out[0], out[1], gt, jnp.asarray(n_steps + 1))
-        _ = np.asarray(out[2])  # force completion
-        dt = time.time() - t0
-        px_per_s = D * (H * axes["tile"]) * W * n_steps / dt
-        results.append({"devices": nd, "mesh": axes,
-                        "pixels_per_s": round(px_per_s, 1)})
-    base = results[0]["pixels_per_s"]
-    for r in results:
-        r["efficiency"] = round(r["pixels_per_s"] / (base * r["devices"]), 3)
-    print(json.dumps({"backend": jax.default_backend(),
-                      "scaling": results}))
-    return results
+        dt = _time_steps(step, params, opt_state, gt, n_steps)
+        return D * H * W * n_steps / dt
+
+    strong, weak = [], []
+    for nd in sizes:
+        px = build_and_time(_axes_compute(nd), 1)
+        strong.append({"devices": nd, "mesh": _axes_compute(nd),
+                       "pixels_per_s": round(px, 1)})
+    for nd in sizes:
+        axes = {"data": nd, "gauss": 1, "tile": 1}
+        px = build_and_time(axes, nd)
+        weak.append({"devices": nd, "mesh": axes,
+                     "pixels_per_s": round(px, 1)})
+    base = strong[0]["pixels_per_s"]
+    for rows in (strong, weak):
+        for r in rows:
+            r["efficiency"] = round(
+                r["pixels_per_s"] / (base * r["devices"]), 3)
+    result = {"backend": jax.default_backend(),
+              "devices_total": n_dev_total,
+              "problem": {"H": H, "W": W, "num_points": N,
+                          "steps_timed": n_steps},
+              "strong": strong, "weak_data": weak}
+    if jax.default_backend() == "cpu":
+        result["note"] = (
+            "virtual CPU devices share one host thread pool: the 1-device "
+            "baseline already uses every core via XLA intra-op threading, so "
+            "these efficiencies are a LOWER BOUND that mainly validates the "
+            "SPMD program; the >=80% pixels/s target is a real-TPU-slice "
+            "measurement this single-chip environment cannot produce")
+    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":
-    run()
+    import os
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    res = run()
+    with open("SCALING_r02.json", "w") as fh:
+        json.dump(res, fh, indent=1)

@@ -38,6 +38,21 @@ from gaussianimage_tpu.utils.checkpoint import (
 from gaussianimage_tpu.utils.image_io import save_image_array
 
 
+def _colormap_viridis(x: np.ndarray) -> np.ndarray:
+    """[H,W] in [0,1] -> [H,W,3] viridis-like heatmap (tiny fixed-stop
+    linear colormap; avoids a matplotlib dependency in the train loop)."""
+    stops = np.array([[0.267, 0.005, 0.329], [0.283, 0.141, 0.458],
+                      [0.254, 0.265, 0.530], [0.207, 0.372, 0.553],
+                      [0.164, 0.471, 0.558], [0.128, 0.567, 0.551],
+                      [0.135, 0.659, 0.518], [0.267, 0.749, 0.441],
+                      [0.478, 0.821, 0.318], [0.741, 0.873, 0.150],
+                      [0.993, 0.906, 0.144]], np.float32)
+    x = np.clip(x, 0.0, 1.0) * (len(stops) - 1)
+    i = np.minimum(x.astype(np.int32), len(stops) - 2)
+    f = (x - i)[..., None]
+    return stops[i] * (1 - f) + stops[i + 1] * f
+
+
 class SimpleTrainer2d:
     """Fits one image with 2D Gaussians."""
 
@@ -115,50 +130,130 @@ class SimpleTrainer2d:
         self._render_fn = jax.jit(
             lambda params: self.model.render(
                 params, iteration=jnp.asarray(1 << 30))["render"])
+        self._viz_fn = jax.jit(
+            lambda params: self.model.render(
+                params, iteration=jnp.asarray(1 << 30), render_viz=True))
+        self.log_every = int(getattr(args, "log_every", 100) or 0)
+        self.viz_every = int(getattr(args, "viz_every", 5000) or 0)
+        self._wandb = None
+        if bool(getattr(args, "wandb", False)):
+            try:
+                import wandb  # optional; scalars/images mirror the jsonl/png
+                self._wandb = wandb.init(
+                    project=getattr(args, "wandb_project", "gaussianimage_tpu"),
+                    name=f"{self.model_name}_{num_points}_{image_name}",
+                    reinit=True)
+            except Exception as e:  # no wandb in env: jsonl/png remain
+                self.logwriter.write(f"wandb unavailable ({e}); file logging only")
+
+    # -- run observability (reference train.py:147-221 wandb logging) --------
+    def _log_scalars(self, it0, losses, psnrs, n):
+        """Append every ``log_every``-th step to scalars.jsonl (machine
+        readable, one JSON object per line) like the reference logs scalars
+        to wandb every 100 iterations."""
+        if not self.log_every:
+            return
+        import json
+        with open(self.log_dir / "scalars.jsonl", "a") as fh:
+            for j in range(n):
+                step = it0 + j + 1
+                if step % self.log_every == 0 or step == 1:
+                    rec = {"iteration": step, "loss": float(losses[j]),
+                           "psnr": float(psnrs[j])}
+                    fh.write(json.dumps(rec) + "\n")
+                    if self._wandb is not None:
+                        self._wandb.log(rec, step=step)
+
+    def _dump_viz(self, it):
+        """Render + alpha heatmap + gaussian viz + center overlay PNGs
+        (the reference's every-5000-iter wandb images, train.py:147-221)."""
+        out = self._viz_fn(self.state.params)
+        viz_dir = self.log_dir / "viz"
+        viz_dir.mkdir(parents=True, exist_ok=True)
+        render = np.asarray(out["render"])[..., :self.crop_h, :self.crop_w]
+        save_image_array(render, viz_dir / f"iter_{it:06d}_render.png")
+        alpha = np.asarray(out["alpha_map"])[0, 0, :self.crop_h, :self.crop_w]
+        amax = max(float(alpha.max()), 1e-6)
+        heat = _colormap_viridis(alpha / amax)
+        save_image_array(heat.transpose(2, 0, 1)[None],
+                         viz_dir / f"iter_{it:06d}_alpha.png")
+        if "gauss_render" in out:
+            save_image_array(
+                np.asarray(out["gauss_render"])[..., :self.crop_h, :self.crop_w],
+                viz_dir / f"iter_{it:06d}_gauss.png")
+        if "xys" in out:
+            overlay = render[0].transpose(1, 2, 0).copy()
+            xy = np.asarray(out["xys"]).astype(np.int32)
+            ok = ((xy[:, 0] >= 0) & (xy[:, 0] < overlay.shape[1])
+                  & (xy[:, 1] >= 0) & (xy[:, 1] < overlay.shape[0]))
+            overlay[xy[ok, 1], xy[ok, 0]] = np.array([1.0, 0.0, 0.0])
+            save_image_array(overlay.transpose(2, 0, 1)[None],
+                             viz_dir / f"iter_{it:06d}_overlay.png")
+        if self._wandb is not None:
+            import wandb
+            self._wandb.log({"render": wandb.Image(
+                render[0].transpose(1, 2, 0))}, step=it)
 
     def train(self):
+        from tqdm import tqdm
+
         psnr_list, iter_list, loss_list = [], [], []
         start_time = time.time()
         it = 0
         key = self.key
         profile_dir = self.profile_dir
+        warned_overflow = False
+        pbar = tqdm(total=self.iterations, desc=self.image_name,
+                    unit="it", dynamic_ncols=True,
+                    disable=not sys.stderr.isatty())
         while it < self.iterations:
-            if profile_dir and (it == self.chunk_size
-                                or (it == 0 and self.iterations <= self.chunk_size)):
+            tracing = profile_dir and (
+                it == self.chunk_size
+                or (it == 0 and self.iterations <= self.chunk_size))
+            key, sub = jax.random.split(key)
+            if tracing:
                 profile_dir, this_dir = None, profile_dir
                 # trace the second chunk (first is compile) + a few renders;
                 # device-side op durations in the trace are the only honest
                 # timings on the axon runtime (see .claude/skills/verify)
                 with jax.profiler.trace(str(this_dir)):
-                    key, sub = jax.random.split(key)
-                    self.state, losses, psnrs = self._chunk_fn(
+                    self.state, metrics = self._chunk_fn(
                         self.state, self.gt_image, sub, jnp.asarray(it + 1))
                     for _ in range(10):
                         img = self._render_fn(self.state.params)
                     jax.block_until_ready(img)
                     time.sleep(4)  # let the device queue drain inside the trace
-                losses = np.asarray(losses)
-                psnrs = np.asarray(psnrs)
-                n = min(self.chunk_size, self.iterations - it)
-                loss_list.extend(losses[:n].tolist())
-                psnr_list.extend(psnrs[:n].tolist())
-                iter_list.extend(range(it + 1, it + n + 1))
-                it += n
                 self.logwriter.write(f"profiler trace written to {this_dir}")
-                continue
-            key, sub = jax.random.split(key)
-            self.state, losses, psnrs = self._chunk_fn(
-                self.state, self.gt_image, sub, jnp.asarray(it + 1))
-            losses = np.asarray(losses)
-            psnrs = np.asarray(psnrs)
+            else:
+                self.state, metrics = self._chunk_fn(
+                    self.state, self.gt_image, sub, jnp.asarray(it + 1))
+            losses = np.asarray(metrics["loss"])
+            psnrs = np.asarray(metrics["psnr"])
             n = min(self.chunk_size, self.iterations - it)
             loss_list.extend(losses[:n].tolist())
             psnr_list.extend(psnrs[:n].tolist())
             iter_list.extend(range(it + 1, it + n + 1))
+            self._log_scalars(it, losses, psnrs, n)
             it += n
+            pbar.update(n)
+            pbar.set_postfix(loss=f"{losses[n-1]:.5f}",
+                             psnr=f"{psnrs[n-1]:.2f}")
+            # per-chunk overflow monitoring: a fit that outgrows the
+            # instance-stream cap must warn NOW, not at final test
+            nd = int(np.asarray(metrics["n_dropped_max"]))
+            if nd > 0 and not warned_overflow:
+                warned_overflow = True
+                self.logwriter.write(
+                    f"WARNING: iter {it}: rasterizer dropped up to {nd} "
+                    "gaussian-tile instances this chunk (raise "
+                    "RasterizeConfig.max_instances / max_tiles_per_gauss)")
             if it % 5000 < self.chunk_size:
                 self.logwriter.write(
                     f"iter {it}: loss {losses[n-1]:.7f} psnr {psnrs[n-1]:.4f}")
+            if self.viz_every and (it % self.viz_every < self.chunk_size
+                                   or it >= self.iterations):
+                self._dump_viz(it)
+        pbar.close()
         end_time = time.time() - start_time
 
         if hasattr(self.model, "prune_points"):
@@ -249,6 +344,16 @@ def parse_args(argv):
     p.add_argument("--profile", type=str, default=None,
                    help="directory for a jax.profiler trace of one training "
                         "chunk + renders (device-side timings)")
+    p.add_argument("--log_every", type=int, default=100,
+                   help="append loss/psnr to scalars.jsonl every N iters "
+                        "(reference logs scalars every 100); 0 = off")
+    p.add_argument("--viz_every", type=int, default=5000,
+                   help="dump render/alpha-heatmap/gaussian-viz/center-"
+                        "overlay PNGs every N iters (reference wandb images "
+                        "every 5000); 0 = off")
+    p.add_argument("--wandb", action="store_true",
+                   help="mirror scalars/images to wandb if installed")
+    p.add_argument("--wandb_project", type=str, default="gaussianimage_tpu")
     # wMask options (reference train.py:310-326)
     p.add_argument("--start_mask_training", type=int, default=0)
     p.add_argument("--stop_mask_training", type=int, default=50000)

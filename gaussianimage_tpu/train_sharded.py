@@ -35,7 +35,8 @@ from gaussianimage_tpu.datasets import iterate_dataset
 from gaussianimage_tpu.models import make_model
 from gaussianimage_tpu.ops import RasterizeConfig
 from gaussianimage_tpu.parallel import (
-    init_sharded_fit, make_mesh, make_sharded_train_step, mesh_axes_for)
+    init_sharded_fit, make_mesh, make_sharded_train_step,
+    maybe_initialize_distributed, mesh_axes_for)
 from gaussianimage_tpu.utils.checkpoint import save_checkpoint
 from gaussianimage_tpu.utils.logwriter import LogWriter
 
@@ -64,6 +65,9 @@ def main(argv=None):
     # honor JAX_PLATFORMS=cpu the way tests/conftest.py does
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    # multi-host runtime init (no-op single-process; wires the coordinator
+    # and global device list under SLURM / TPU-pod / explicit env launches)
+    maybe_initialize_distributed()
     args = parse_args(argv if argv is not None else sys.argv[1:])
     if args.mesh:
         d, g, t = (int(x) for x in args.mesh.split(","))
@@ -109,10 +113,18 @@ def main(argv=None):
         t0 = time.time()
         it = 0
         loss = psnr = None
+        warned_overflow = False
         while it < args.iterations:
-            params, opt_state, loss, psnr = step(params, opt_state, gt,
-                                                 jnp.asarray(it + 1))
+            params, opt_state, loss, psnr, nd = step(
+                params, opt_state, gt, jnp.asarray(it + 1))
             it += args.chunk_size
+            nd_max = int(np.asarray(nd).max())
+            if nd_max > 0 and not warned_overflow:
+                warned_overflow = True
+                logwriter.write(
+                    f"WARNING: iter {it}: rasterizer dropped up to {nd_max} "
+                    "gaussian-tile instances this chunk (raise "
+                    "RasterizeConfig.max_instances / max_tiles_per_gauss)")
             if it % 5000 < args.chunk_size:
                 lv = np.asarray(loss)
                 pv = np.asarray(psnr)

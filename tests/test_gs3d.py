@@ -134,7 +134,8 @@ def test_gs3d_fit_smoke():
     state = model.init_state(jax.random.PRNGKey(0))
     pkg = model.render(state.params)
     assert pkg["render"].shape == (1, 3, 32, 32)
-    state, losses, psnrs = model.train_chunk(state, gt, None, jnp.asarray(1), 40)
+    state, metrics = model.train_chunk(state, gt, None, jnp.asarray(1), 40)
+    losses, psnrs = metrics["loss"], metrics["psnr"]
     p = np.asarray(psnrs)
     assert np.isfinite(p).all()
     assert p[-1] > p[0]

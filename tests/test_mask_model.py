@@ -54,9 +54,9 @@ def test_train_with_kl_reg_runs_and_masks():
                target_sparsity=0.5, lambda_reg=0.01)
     state = m.init_state(jax.random.PRNGKey(0))
     gt = jnp.asarray(synthetic_image(32, 48, seed=0))
-    state, losses, psnrs = m.train_chunk(state, gt, jax.random.PRNGKey(1),
-                                         jnp.asarray(1), 60)
-    assert bool(jnp.isfinite(losses).all())
+    state, metrics = m.train_chunk(state, gt, jax.random.PRNGKey(1),
+                                   jnp.asarray(1), 60)
+    assert bool(jnp.isfinite(metrics["loss"]).all())
     # deterministic phase after stop: render has binary opacities
     pkg = m.render(state.params, iteration=100)
     ops = np.unique(np.asarray(pkg["final_opacities"]))
@@ -81,13 +81,13 @@ def test_ema_finalization():
     state = m.init_state(jax.random.PRNGKey(0))
     gt = jnp.asarray(synthetic_image(32, 48, seed=0))
     # run exactly through the stop iteration: finalization rewrites logits
-    state, _, _ = m.train_chunk(state, gt, jax.random.PRNGKey(1),
+    state, _ = m.train_chunk(state, gt, jax.random.PRNGKey(1),
                                 jnp.asarray(1), 5)
     logits = np.asarray(state.params["_mask_logits"])
     assert set(np.unique(logits)) <= {-10.0, 10.0}
     # subsequent optimizer steps may drift them slightly (reference behavior:
     # the optimizer keeps stepping after the no-grad rewrite)
-    state, _, _ = m.train_chunk(state, gt, jax.random.PRNGKey(2),
+    state, _ = m.train_chunk(state, gt, jax.random.PRNGKey(2),
                                 jnp.asarray(6), 2)
     logits = np.asarray(state.params["_mask_logits"])
     assert np.all(np.abs(np.abs(logits) - 10.0) < 0.5)

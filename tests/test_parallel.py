@@ -40,7 +40,7 @@ def test_sharded_step_matches_single_device():
     params, opt_state, gt = init_sharded_fit(model, mesh, images, seed=3)
     step = make_sharded_train_step(model, mesh, n_steps=3)(
         params, opt_state, gt)
-    p2, o2, loss, psnr = step(params, opt_state, gt, jnp.asarray(1))
+    p2, o2, loss, psnr, _nd = step(params, opt_state, gt, jnp.asarray(1))
     assert loss.shape == (2,) and psnr.shape == (2,)
 
     # single-device reference: same init, 3 manual steps per image
@@ -72,10 +72,10 @@ def test_sharded_fit_improves_psnr():
     params, opt_state, gt = init_sharded_fit(model, mesh, images)
     step = make_sharded_train_step(model, mesh, n_steps=50)(
         params, opt_state, gt)
-    _, _, _, psnr0 = step(params, opt_state, gt, jnp.asarray(1))
+    _, _, _, psnr0, _ = step(params, opt_state, gt, jnp.asarray(1))
     psnr0 = np.asarray(psnr0)
     params, opt_state, gt = init_sharded_fit(model, mesh, images)
     for it in range(4):
-        params, opt_state, loss, psnr = step(params, opt_state, gt,
+        params, opt_state, loss, psnr, _nd = step(params, opt_state, gt,
                                              jnp.asarray(1 + 50 * it))
     assert np.asarray(psnr)[0] > psnr0[0] + 3.0
