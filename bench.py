@@ -11,11 +11,13 @@ Timing methodology for the axon TPU runtime (see memory/verify notes):
   synchronous dispatch (~0.25 ms/call); afterwards each call's wall time is
   its true latency. All timed loops therefore run AFTER one deliberate
   readback.
-- FPS is throughput: a burst of B full renders per dispatch (each frame
-  re-runs the ENTIRE pipeline — projection, binning sort, stream gather,
-  kernel — and depends on the previous frame's output so XLA cannot fold
-  the loop). This amortizes the sync-dispatch tax the same way CUDA's async
-  launch queue amortizes launch overhead in the reference's 100-forward
+- FPS is throughput: a burst of B INDEPENDENT full renders per dispatch
+  (each frame re-runs the ENTIRE pipeline — projection, binning sort,
+  stream gather, kernel — on params offset by a distinct sub-ulp constant,
+  so no two frames CSE and every frame's output is consumed). This
+  amortizes the sync-dispatch tax and lets XLA's latency-hiding scheduler
+  overlap one frame's DMA epilogue with the next frame's compute — the
+  same overlap CUDA's async launch queue gives the reference's 100-forward
   probe (reference train.py:242-249 syncs once, not per frame).
 - Per-frame single-dispatch latency (one render per call, sync mode) is
   also reported in extras.
@@ -31,8 +33,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BURST = 25      # frames per dispatch in throughput probes
-BURST_CALLS = 8  # dispatches per probe (total frames = BURST * BURST_CALLS)
+BURST = 100     # frames per dispatch in throughput probes (the reference's
+#   probe is also 100 forwards, train.py:242-249); the scan is rolled so
+#   executable size does not grow with BURST
+BURST_CALLS = 3  # dispatches per probe (total frames = BURST * BURST_CALLS)
+
+
+def make_burst(render_fn, perturb_key, n=BURST):
+    """One jitted executable scanning n independent full renders. Each
+    frame's params differ by a distinct 1e-30*i offset on ``perturb_key``
+    (below f32 ulp — identical images — but the loop cannot be folded) and
+    each frame's output is consumed into the carried scalar (no DCE). A
+    ROLLED scan, not an unrolled chain: on this runtime the sync-dispatch
+    tax scales with static op count, so one loop body amortizes it."""
+
+    def burst(p):
+        def body(acc, i):
+            q = dict(p)
+            q[perturb_key] = q[perturb_key] + 1e-30 * i.astype(jnp.float32)
+            img = render_fn(q)
+            return acc + img[0, 0, 0, 0], None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(1, n + 1, dtype=jnp.int32))
+        return acc
+
+    return jax.jit(burst)
 
 
 def _time_calls(fn, *args, calls=BURST_CALLS):
@@ -72,19 +98,7 @@ def main():
     jax.block_until_ready(state.params)
 
     render = jax.jit(lambda p: model.render(p)["render"])
-
-    def render_burst(p):
-        def body(i, acc):
-            q = dict(p)
-            # serial dependency: frame i+1's params depend on frame i's
-            # output (1e-30 is far below f32 ulp of the values, so the
-            # rendered images are identical — but XLA cannot hoist/fold)
-            q["_xyz"] = q["_xyz"] + 1e-30 * acc
-            img = model.render(q)["render"]
-            return acc + img[0, 0, 0, 0]
-        return jax.lax.fori_loop(0, BURST, body, jnp.float32(0.0))
-
-    burst = jax.jit(render_burst)
+    burst = make_burst(lambda q: model.render(q)["render"], "_xyz")
 
     # compile everything, then poison dispatch ONCE (fence between the
     # pipelined-warmup world and the timed sync world)
@@ -122,19 +136,13 @@ def main():
                      donate_argnums=(0,))
     qstate, _ = qchunk(qstate, gt, jnp.asarray(1))
     enc = jax.device_put(qmodel.compress_wo_ec(qstate.params, qstate.extra))
-    qp, qe = qstate.params, qstate.extra
+    qe = qstate.extra
 
-    def decode_burst(e):
-        def body(i, acc):
-            p = dict(qp)
-            p["cholesky_quant_scale"] = (
-                p["cholesky_quant_scale"] + 1e-30 * acc)
-            img = qmodel.decompress_wo_ec(p, qe, e)["render"]
-            return acc + img[0, 0, 0, 0]
-        return jax.lax.fori_loop(0, BURST, body, jnp.float32(0.0))
+    def decode_frame(p, e=enc):
+        return qmodel.decompress_wo_ec(p, qe, e)["render"]
 
-    dburst = jax.jit(decode_burst)
-    decode_ms = _time_calls(dburst, enc) / BURST * 1e3
+    dburst = make_burst(decode_frame, "cholesky_quant_scale")
+    decode_ms = _time_calls(dburst, qstate.params) / BURST * 1e3
 
     # 3DGS baseline: sorted alpha-blend kernel render FPS at the same scale
     gmodel = make_model("3DGS", num_points=N, H=H, W=W, loss_type="Fusion2")
@@ -142,18 +150,9 @@ def main():
     gchunk = jax.jit(lambda st, g, s: gmodel.train_chunk(st, g, None, s, 100),
                      donate_argnums=(0,))
     gstate, _ = gchunk(gstate, gt, jnp.asarray(1))
-    gp = gstate.params
-
-    def blend_burst(p):
-        def body(i, acc):
-            q = dict(p)
-            q["_xyz"] = q["_xyz"] + 1e-30 * acc
-            img = gmodel.render(q)["render"]
-            return acc + img[0, 0, 0, 0]
-        return jax.lax.fori_loop(0, 10, body, jnp.float32(0.0))
-
-    gburst = jax.jit(blend_burst)
-    blend_ms = _time_calls(gburst, gp, calls=5) / 10 * 1e3
+    gburst = make_burst(lambda q: gmodel.render(q)["render"], "_xyz",
+                        n=8)
+    blend_ms = _time_calls(gburst, gstate.params, calls=5) / 8 * 1e3
 
     baseline_fps = 2000.0  # reference README headline (V100)
     print(json.dumps({

@@ -34,7 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gaussianimage_tpu.ops import stream_common as sc
-from gaussianimage_tpu.ops.rasterize_sum import _read_chunk, _stream_spec
+from gaussianimage_tpu.ops.rasterize_sum import (_read_chunk_T as _read_chunk,
+                                                 _stream_spec)
 from gaussianimage_tpu.ops.tiles import bin_gaussians_per_tile
 
 _C = 8   # padded channels: rgb + T_fin + logT_fin + 3 pad

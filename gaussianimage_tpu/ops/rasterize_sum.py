@@ -97,13 +97,6 @@ def _phi(tile_px: int):
     return jnp.concatenate(rows, axis=0)  # [8, P]
 
 
-def _cm_rows(gT):
-    """cm^T [8, BK] (premultiplied color rows ro,go,bo + alpha row o + 4 zero
-    pad rows) — with the premultiplied packing (sc.pack_feat(premultiply=
-    True)) this is just a contiguous sublane slice of the chunk."""
-    return gT[5:5 + _C]
-
-
 def _tile_origin(t, tiles_x, tile_px):
     tx0 = ((t % tiles_x) * tile_px).astype(jnp.float32)
     ty0 = ((t // tiles_x) * tile_px).astype(jnp.float32)
@@ -111,10 +104,33 @@ def _tile_origin(t, tiles_x, tile_px):
 
 
 def _read_chunk(gfeat_ref, blk0, ci, off, bk, aligned):
-    """One chunk of packed features as [16, BK] rows."""
+    """One chunk of packed features as [BK, 16] (instances on sublanes —
+    the flat path reads its rows with NO transpose; per-instance scalars are
+    cheap [BK, 1] lane slices and both matmuls contract natively in this
+    orientation). The aligned path stores transposed [16, BK] blocks and
+    pays one in-block transpose per chunk."""
     if aligned:
-        return gfeat_ref[blk0 + ci]            # [NB, 16, BK] block
-    return gfeat_ref[pl.ds(off, bk), :].T      # flat [I+BK, 16] rows
+        return gfeat_ref[blk0 + ci].T          # [NB, 16, BK] block
+    return gfeat_ref[pl.ds(off, bk), :]        # flat [I+BK, 16] rows
+
+
+def _read_chunk_T(gfeat_ref, blk0, ci, off, bk, aligned):
+    """One chunk as [16, BK] feature rows (the blend kernel's sequential
+    compositing works row-wise; the aligned path's stored layout is already
+    transposed so it reads blocks directly)."""
+    if aligned:
+        return gfeat_ref[blk0 + ci]
+    return gfeat_ref[pl.ds(off, bk), :].T
+
+
+def _chunk_geom(g, tx0, ty0):
+    """Per-instance columns from a [BK, 16] chunk: tile-local centers,
+    conic terms, premultiplied color matrix [BK, 4]."""
+    gx = g[:, 0:1] - tx0
+    gy = g[:, 1:2] - ty0
+    a, b, c = g[:, 2:3], g[:, 3:4], g[:, 4:5]
+    cm = g[:, 5:5 + _C]
+    return gx, gy, a, b, c, cm
 
 
 def _fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
@@ -134,12 +150,9 @@ def _fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
         tx0, ty0 = _tile_origin(t, tiles_x, tile_px)
 
         def chunk_body(ci, acc):
-            gT = _read_chunk(gfeat_ref, blk0, ci, start + ci * bk, bk,
-                             aligned)
-            gx = (gT[0] - tx0)[:, None]  # [BK, 1] tile-local centers
-            gy = (gT[1] - ty0)[:, None]
-            a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
-            cmT = _cm_rows(gT)
+            g = _read_chunk(gfeat_ref, blk0, ci, start + ci * bk, bk,
+                            aligned)
+            gx, gy, a, b, c, cm = _chunk_geom(g, tx0, ty0)
             # direct quadratic form on pixel offsets (pure VPU, no
             # cancellation: dx, dy are tile-small)
             dx = X - gx  # [BK, P]
@@ -154,7 +167,7 @@ def _fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
             live = slot < count
             w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
             return acc + jax.lax.dot_general(
-                cmT, w, (((1,), (0,)), ((), ())),
+                cm, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)  # [C, P]
 
@@ -172,58 +185,53 @@ def _bwd_chunk_store(gfeat_ref, dgfeat_ref, G, blk0, start, ci, count,
     the pixel-moment contraction, store [16, BK] into the grad stream.
     Shared by _bwd_kernel and _fused_l2_kernel (one copy of the math)."""
     off = start + ci * bk
-    gT = _read_chunk(gfeat_ref, blk0, ci, off, bk, aligned)
-    gx = (gT[0] - tx0)[:, None]
-    gy = (gT[1] - ty0)[:, None]
-    a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
-    cmT = _cm_rows(gT)
+    g = _read_chunk(gfeat_ref, blk0, ci, off, bk, aligned)
+    gx, gy, a, b, c, cm = _chunk_geom(g, tx0, ty0)
     dx = X - gx
     dy = Y - gy
     q = jnp.maximum(a * dx * dx + 2.0 * b * dx * dy + c * dy * dy, 0.0)
     slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
     live = slot < count
     w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
-    # dL/dw[k,p] = sum_c cm[c,k] G[c,p] — 4 rank-1 VPU updates
-    dw = (cmT[0][:, None] * G[0] + cmT[1][:, None] * G[1]
-          + cmT[2][:, None] * G[2] + cmT[3][:, None] * G[3])
+    # dL/dw[k,p] = sum_c cm[k,c] G[c,p] — 4 rank-1 VPU updates (faster than
+    # a contraction-4 f32 MXU pass at HIGHEST precision)
+    dw = (cm[:, 0:1] * G[0:1] + cm[:, 1:2] * G[1:2]
+          + cm[:, 2:3] * G[2:3] + cm[:, 3:4] * G[3:4])  # [BK, P]
     dq = (-0.5) * w * dw  # cutoff + live already folded into w
     # pixel moments m = [m0, mx, my, mxx, mxy, myy] of dq; tile-local
     # coordinates keep the recombination cancellation-safe in f32
     m = jax.lax.dot_general(
         dq, phi_m, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST).T  # [8, BK]
-    m0, mx, my, mxx, mxy, myy = m[0], m[1], m[2], m[3], m[4], m[5]
-    gxv, gyv = gx[:, 0], gy[:, 0]
-    av, bv, cv = a[:, 0], b[:, 0], c[:, 0]
-    cx = mx - gxv * m0   # sum_p dq * (x - gx)
-    cy = my - gyv * m0
-    da = mxx - 2.0 * gxv * mx + gxv * gxv * m0
-    db = 2.0 * (mxy - gxv * my - gyv * mx + gxv * gyv * m0)
-    dc = myy - 2.0 * gyv * my + gyv * gyv * m0
-    dgx = -2.0 * av * cx - 2.0 * bv * cy
-    dgy = -2.0 * bv * cx - 2.0 * cv * cy
-    # dcm[c,k] = sum_p G[c,p] w[k,p] (contraction over P -> MXU). Rows 0..3
-    # are the gradients w.r.t. the premultiplied packed rows (ro, go, bo, o);
-    # the chain rule to raw colors/opacity lives in pack_feat's VJP.
-    dcmT = jax.lax.dot_general(
-        G, w, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)  # [BK, 8]
+    m0, mx, my = m[:, 0:1], m[:, 1:2], m[:, 2:3]
+    mxx, mxy, myy = m[:, 3:4], m[:, 4:5], m[:, 5:6]
+    cx = mx - gx * m0   # [BK, 1] sum_p dq * (x - gx)
+    cy = my - gy * m0
+    da = mxx - 2.0 * gx * mx + gx * gx * m0
+    db = 2.0 * (mxy - gx * my - gy * mx + gx * gy * m0)
+    dc = myy - 2.0 * gy * my + gy * gy * m0
+    dgx = -2.0 * a * cx - 2.0 * b * cy
+    dgy = -2.0 * b * cx - 2.0 * c * cy
+    # dcm[k,c] = sum_p w[k,p] G[c,p] (contraction over P -> MXU). Columns
+    # 0..3 are the gradients w.r.t. the premultiplied packed entries
+    # (ro, go, bo, o); the chain rule to raw colors/opacity lives in
+    # pack_feat's VJP.
+    dcm = jax.lax.dot_general(
+        w, G, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # [8, BK]
-    dgeo = jnp.stack([dgx, dgy, da, db, dc], axis=0)  # [5, BK]
-    dgT = jnp.concatenate(
-        [dgeo, dcmT[0:4], jnp.zeros((_FW - 9, bk), jnp.float32)],
-        axis=0)  # [16, BK]
-    live_row = (ci * bk + jax.lax.broadcasted_iota(
-        jnp.int32, (1, bk), 1)) < count
+        precision=jax.lax.Precision.HIGHEST)  # [BK, 4]
+    dg = jnp.concatenate(
+        [dgx, dgy, da, db, dc, dcm,
+         jnp.zeros((bk, _FW - 9), jnp.float32)], axis=1)  # [BK, 16]
+    dg = jnp.where(live, dg, 0.0)
     if aligned:
         # aligned windows: each block belongs to exactly one tile —
         # a plain full-block store is collision-free
-        dgfeat_ref[blk0 + ci] = jnp.where(live_row, dgT, 0.0)
+        dgfeat_ref[blk0 + ci] = dg.T
     else:
         # a tile's last chunk overlaps the NEXT tile's window; the
         # masked += keeps neighbours intact (sequential grid)
-        dg = jnp.where(live_row, dgT, 0.0).T  # [BK, 16]
         dgfeat_ref[pl.ds(off, bk), :] = (
             dgfeat_ref[pl.ds(off, bk), :] + dg)
 
@@ -485,12 +493,9 @@ def _fused_l2_kernel(starts_ref, counts_ref, gfeat_ref, gt_ref,
         tx0, ty0 = _tile_origin(t, tiles_x, tile_px)
 
         def fwd_chunk(ci, acc):
-            gT = _read_chunk(gfeat_ref, blk0, ci, start + ci * bk, bk,
-                             aligned)
-            gx = (gT[0] - tx0)[:, None]
-            gy = (gT[1] - ty0)[:, None]
-            a, b, c = gT[2][:, None], gT[3][:, None], gT[4][:, None]
-            cmT = _cm_rows(gT)
+            g = _read_chunk(gfeat_ref, blk0, ci, start + ci * bk, bk,
+                            aligned)
+            gx, gy, a, b, c, cm = _chunk_geom(g, tx0, ty0)
             dx = X - gx
             dy = Y - gy
             q = jnp.maximum(
@@ -499,7 +504,7 @@ def _fused_l2_kernel(starts_ref, counts_ref, gfeat_ref, gt_ref,
             live = slot < count
             w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
             return acc + jax.lax.dot_general(
-                cmT, w, (((1,), (0,)), ((), ())),
+                cm, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
 

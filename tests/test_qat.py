@@ -87,6 +87,14 @@ def test_rs_qat_smoke():
     out = model.decompress(state.params, state.extra, enc)["render"]
     assert out.shape == (1, 3, H, W)
     assert bool(jnp.isfinite(out).all())
+    # per-component covariance bpp keys (reference RS analysis reports
+    # scaling_bpp / rotation_bpp, gaussianimage_rs.py:186-192,265-273)
+    for analysis in (model.analysis_wo_ec(state.params, state.extra, enc),
+                     model.analysis(state.params, state.extra, enc)):
+        assert analysis["scaling_bpp"] > 0
+        assert analysis["rotation_bpp"] > 0
+        assert abs(analysis["scaling_bpp"] + analysis["rotation_bpp"]
+                   - analysis["cholesky_bpp"]) < 1e-9
 
 
 def test_quantizer_warm_start_ranges(qat_setup):
