@@ -1,0 +1,104 @@
+"""Batched rendering/decoding — B frames in ONE rasterizer pass.
+
+TPU-idiomatic throughput path (SURVEY.md: "keep work large and batched"):
+B same-size frames are stacked VERTICALLY into one H*B x W canvas, their
+gaussians offset into the matching row band, and the whole stack renders
+through a single binning sort + stream gather + Pallas launch. Fixed
+per-op launch overhead (~0.1 ms/frame on the axon runtime) amortizes over
+the batch, and every array is B times larger — better lane/MXU utilization
+throughout.
+
+Per-frame containment is exact, not approximate: each gaussian carries an
+inclusive tile-row ``band`` (ops/tiles.py) so its instances can only bin
+into its own frame's rows, and the q <= q_cut kernel gate is unchanged —
+the stacked render equals the per-frame renders bit-for-bit (up to f32
+accumulation order inside shared tiles, which does not occur across bands).
+
+Use cases: whole-dataset codec decode (test_quantize evaluates 24 Kodak
+images), multi-frame FPS probes, serving many small images per chip.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussianimage_tpu.ops import rasterize_gaussians_sum
+
+
+def _batched_raster_config(model, B: int):
+    """Raster config for the stacked canvas: the instance budget scales with
+    B*N, and the flat-stream VMEM ceiling rises to keep the fast flat layout
+    (3x average occupancy measured ~2.5 on fitted scenes; a [I, 16] f32
+    stream occupies I*512 bytes of VMEM after lane padding, so 3*B*N stays
+    under the 100 MB limit through B*N ~ 180k)."""
+    cfg = model.cfg.raster
+    cap = 3 * B * model.cfg.num_points
+    return cfg._replace(max_instances=max(cap, 16384),
+                        flat_stream_limit=max(cfg.flat_stream_limit, 196608))
+
+
+def _stack_splats(model, splats: Tuple[jnp.ndarray, ...]):
+    """vmapped splat tuples (leaves [B, N, ...]) -> flattened stacked scene
+    plus the per-gaussian tile-row band."""
+    cfg = model.cfg
+    tp = cfg.raster.tile_px
+    assert cfg.H % tp == 0, "batched stacking needs H % tile_px == 0"
+    xys, radii, conics, colors, opac = splats
+    B, N = xys.shape[0], xys.shape[1]
+    yoff = (jnp.arange(B, dtype=jnp.float32) * cfg.H)[:, None]
+    xys = jnp.concatenate(
+        [xys[..., 0:1], xys[..., 1:2] + yoff[..., None]], axis=-1)
+    rows = cfg.H // tp
+    frame = jnp.repeat(jnp.arange(B, dtype=jnp.int32), N)
+    band = (frame * rows, frame * rows + rows - 1)
+
+    def flat(x):
+        return x.reshape((B * N,) + x.shape[2:])
+
+    return (flat(xys), flat(radii), flat(conics), flat(colors), flat(opac),
+            band)
+
+
+def _raster_stacked(model, flat_splat, band):
+    cfg = model.cfg
+    xys, radii, conics, colors, opac = flat_splat
+    B = band[0].shape[0] // cfg.num_points
+    img, alpha, aux = rasterize_gaussians_sum(
+        xys, conics, colors, opac, cfg.H * B, cfg.W, radii=radii,
+        config=_batched_raster_config(model, B), band=band)
+    img = jnp.clip(img, 0.0, 1.0)
+    # [H*B, W, 3] -> [B, 3, H, W]
+    img = img.reshape(B, cfg.H, cfg.W, 3).transpose(0, 3, 1, 2)
+    alpha = alpha.reshape(B, cfg.H, cfg.W)
+    return img, alpha, aux
+
+
+def render_batch(model, params_b) -> Dict[str, jnp.ndarray]:
+    """Render B parameter sets (pytree leaves stacked on axis 0) in one
+    rasterizer pass. Returns {"render": [B, 3, H, W], "alpha_map":
+    [B, 1, H, W], "raster_aux": aux}."""
+    splats = jax.vmap(model.splat)(params_b)
+    *flat, band = _stack_splats(model, splats)
+    img, alpha, aux = _raster_stacked(model, tuple(flat), band)
+    return {"render": img, "alpha_map": alpha[:, None], "raster_aux": aux}
+
+
+def decompress_wo_ec_batch(model, params_b, extra_b, enc_b
+                           ) -> Dict[str, jnp.ndarray]:
+    """Decode B encodings (leaves stacked on axis 0) in one rasterizer pass
+    — the whole-dataset decode path. Returns {"render": [B, 3, H, W]}.
+
+    ``model`` must be a quantize=True model; params/extra/enc carry each
+    frame's quantizer state, VQ codebooks, and code arrays."""
+
+    def one(p, ex, e):
+        means, geo, colors = model.dequantize_wo_ec(p, ex, e)
+        return model._quantized_splat(p, means, geo, colors)
+
+    splats = jax.vmap(one)(params_b, extra_b, enc_b)
+    *flat, band = _stack_splats(model, splats)
+    img, _, aux = _raster_stacked(model, tuple(flat), band)
+    return {"render": img, "raster_aux": aux}

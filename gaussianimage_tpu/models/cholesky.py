@@ -61,11 +61,24 @@ class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
     def _uq_raw_values(self, params):
         return {"cholesky": params["_cholesky"]}
 
-    def _rasterize_quantized(self, params, means, geo, colors):
+    def _quantized_splat(self, params, means, geo, colors):
+        """Dequantized params -> splat tuple (xys, radii, conics, colors,
+        opacities) — the decode path's projection half (shared by single and
+        batched decode)."""
+        cfg = self.cfg
         chol = geo["cholesky"] + CHOLESKY_BOUND
+        xys, _, radii, conics, _ = project_gaussians_2d(
+            means, chol, cfg.H, cfg.W, cfg.tile_bounds)
         N = means.shape[0]
-        img, alpha, aux, _, _ = self._rasterize(
-            means, chol, colors, jnp.ones((N, 1), jnp.float32))
+        return xys, radii, conics, colors, jnp.ones((N, 1), jnp.float32)
+
+    def _rasterize_quantized(self, params, means, geo, colors):
+        cfg = self.cfg
+        xys, radii, conics, colors, opac = self._quantized_splat(
+            params, means, geo, colors)
+        img, alpha, aux = rasterize_gaussians_sum(
+            xys, conics, colors, opac, cfg.H, cfg.W, radii=radii,
+            config=cfg.raster)
         return img, alpha, aux
 
     # activations ----------------------------------------------------------

@@ -183,19 +183,17 @@ class GaussianImageCholeskyMask(GaussianImageCholesky):
         return jnp.mean(kl)
 
     # -- QAT / codec ------------------------------------------------------------
-    def _rasterize_quantized(self, params, means, geo, colors):
-        """QAT/codec rasterize with the deterministic mask folded into
-        opacity (reference forward_quantize gates opacity with the mask,
+    def _quantized_splat(self, params, means, geo, colors):
+        """QAT/codec splat with the deterministic mask folded into opacity
+        (reference forward_quantize gates opacity with the mask,
         gaussianimage_cholesky_wMask.py:392-547). Without this, a
         fitted-but-unpruned model would quantize with every gaussian at
         opacity 1 and decode a different image than it trained."""
-        from gaussianimage_tpu.models.cholesky import CHOLESKY_BOUND
-
-        chol = geo["cholesky"] + CHOLESKY_BOUND
+        xys, radii, conics, colors, _ = super()._quantized_splat(
+            params, means, geo, colors)
         det = (jax.nn.sigmoid(params["_mask_logits"]) > 0.5).astype(
             jnp.float32)
-        img, alpha, aux, _, _ = self._rasterize(means, chol, colors, det)
-        return img, alpha, aux
+        return xys, radii, conics, colors, det
 
     # -- EMA + finalization ----------------------------------------------------
     def update_extra(self, extra, params, aux, iteration):

@@ -153,7 +153,10 @@ class QuantizeMixin:
         out["feature_dc_index"] = np.asarray(idx, np.int32)
         return out
 
-    def decompress_wo_ec(self, params, extra, enc: Dict) -> Dict:
+    def dequantize_wo_ec(self, params, extra, enc: Dict):
+        """Code arrays -> (means, geo dict, colors) on device — the decode
+        path's dequantization front half (shared by single and batched
+        decode)."""
         means = jnp.tanh(jnp.asarray(enc["xyz"], jnp.float32))
         geo = {}
         for name in self._uq_channels():
@@ -162,6 +165,10 @@ class QuantizeMixin:
                 jnp.asarray(enc[f"quant_{name}"], jnp.float32))
         colors = self.features_vq.decompress(
             extra["vq"], jnp.asarray(enc["feature_dc_index"]))
+        return means, geo, colors
+
+    def decompress_wo_ec(self, params, extra, enc: Dict) -> Dict:
+        means, geo, colors = self.dequantize_wo_ec(params, extra, enc)
         img, alpha, _ = self._rasterize_quantized(params, means, geo, colors)
         img = jnp.clip(img, 0.0, 1.0)
         return {"render": img.transpose(2, 0, 1)[None]}

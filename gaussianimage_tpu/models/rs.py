@@ -51,17 +51,23 @@ class GaussianImageRS(QuantizeMixin, GaussianModelBase):
         return {"scaling": params["_scaling"],
                 "rotation": self.get_rotation(params)}
 
-    def _rasterize_quantized(self, params, means, geo, colors):
-        from gaussianimage_tpu.ops import rasterize_gaussians_sum
-
+    def _quantized_splat(self, params, means, geo, colors):
         cfg = self.cfg
         scaling = jnp.abs(geo["scaling"] + SCALING_BOUND)
         rotation = geo["rotation"]
         xys, _, radii, conics, _ = project_gaussians_2d_scale_rot(
             means, scaling, rotation, cfg.H, cfg.W, cfg.tile_bounds)
         N = means.shape[0]
+        return xys, radii, conics, colors, jnp.ones((N, 1), jnp.float32)
+
+    def _rasterize_quantized(self, params, means, geo, colors):
+        from gaussianimage_tpu.ops import rasterize_gaussians_sum
+
+        cfg = self.cfg
+        xys, radii, conics, colors, opac = self._quantized_splat(
+            params, means, geo, colors)
         img, alpha, aux = rasterize_gaussians_sum(
-            xys, conics, colors, jnp.ones((N, 1), jnp.float32), cfg.H, cfg.W,
+            xys, conics, colors, opac, cfg.H, cfg.W,
             radii=radii, config=cfg.raster)
         return img, alpha, aux
 

@@ -426,6 +426,7 @@ def rasterize_gaussians_sum(
     W: int,
     radii: Optional[jnp.ndarray] = None,
     config: RasterizeConfig = RasterizeConfig(),
+    band: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Render by accumulated summation (no sorting, no compositing).
 
@@ -434,7 +435,8 @@ def rasterize_gaussians_sum(
     alpha is the sum of plain opacity-weighted gaussian weights and aux
     carries the instance-stream overflow counter. No clamping, no
     background compositing (reference semantics: the model clamps,
-    gaussianimage_cholesky.py:83-84).
+    gaussianimage_cholesky.py:83-84). ``band`` restricts each gaussian to an
+    inclusive tile-row range (batched.py stacks frames vertically).
     """
     cfg = config
     if radii is None:
@@ -442,7 +444,7 @@ def rasterize_gaussians_sum(
     radii = jax.lax.stop_gradient(radii.astype(jnp.float32))
     rxy = _axis_radii(jax.lax.stop_gradient(conics), radii, cfg.q_cut)
     sp = sc.prepare_stream(jax.lax.stop_gradient(xys).astype(jnp.float32),
-                           rxy, H, W, cfg)
+                           rxy, H, W, cfg, band=band)
     gids, starts, counts = sp.gids, sp.starts, sp.counts
 
     feat = sc.pack_feat(xys, conics, colors, opacities, premultiply=True)

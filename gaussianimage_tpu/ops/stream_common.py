@@ -151,7 +151,8 @@ class StreamPrep:
             setattr(self, k, v)
 
 
-def prepare_stream(xys, radii, H: int, W: int, cfg, order=None) -> StreamPrep:
+def prepare_stream(xys, radii, H: int, W: int, cfg, order=None,
+                   band=None) -> StreamPrep:
     """xys/radii already stop_gradient'ed float32. cfg needs tile_px,
     tiles_per_step, block_inst, max_tiles_per_gauss, max_instances,
     flat_stream_limit."""
@@ -178,13 +179,13 @@ def prepare_stream(xys, radii, H: int, W: int, cfg, order=None) -> StreamPrep:
         I = I0 + T_real * BK  # headroom for per-live-tile block padding
         st = _tiles.bin_instances_aligned(
             xys, radii, tiles_x, tiles_y, tp, I, T, BK,
-            max_tiles_per_gauss=m_span, order=order)
+            max_tiles_per_gauss=m_span, order=order, band=band)
         gids, starts, counts = st.gids, st.starts, st.counts
     else:
         I = I0
         st = _tiles.bin_gaussian_instances(
             xys, radii, tiles_x, tiles_y, tp, I, T,
-            max_tiles_per_gauss=m_span, order=order)
+            max_tiles_per_gauss=m_span, order=order, band=band)
         gids, starts = st.gids, st.starts
         counts = starts[1:] - starts[:-1]
     return StreamPrep(gids=gids, starts=starts, counts=counts,

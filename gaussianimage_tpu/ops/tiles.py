@@ -64,10 +64,17 @@ def _split_radii(radii):
 
 
 def _expand_instances(xys, radii, tiles_x, tiles_y, tile_px, M,
-                      order: Optional[jnp.ndarray]):
+                      order: Optional[jnp.ndarray],
+                      band: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
     """(tile [M, N], live [M, N], n_truncated) — bbox tile spans, capped at
     M instances per gaussian. Slot-major [M, N] layout keeps the minor dim
-    large (N lanes, vs M=~16 at 1/8 lane utilization the other way)."""
+    large (N lanes, vs M=~16 at 1/8 lane utilization the other way).
+
+    ``band``: optional per-gaussian inclusive tile-ROW bounds (lo[N], hi[N]).
+    A gaussian only bins into tile rows within its band — the containment
+    mechanism for batched rendering, where B frames stack vertically into
+    one tall canvas and each frame's gaussians must not bleed into the
+    neighbour frame's rows."""
     rx, ry = _split_radii(radii)
     if order is not None:
         xs = xys[order]
@@ -80,10 +87,17 @@ def _expand_instances(xys, radii, tiles_x, tiles_y, tile_px, M,
     rx = rx.astype(jnp.float32)
     ry = ry.astype(jnp.float32)
 
+    row_lo, row_hi = 0, tiles_y - 1
+    if band is not None:
+        row_lo, row_hi = band
+        if order is not None:
+            row_lo = row_lo[order]
+            row_hi = row_hi[order]
+
     x0 = jnp.clip(jnp.floor((x - rx) / tile_px), 0, tiles_x - 1).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((x + rx) / tile_px), 0, tiles_x - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((y - ry) / tile_px), 0, tiles_y - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((y + ry) / tile_px), 0, tiles_y - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((y - ry) / tile_px), row_lo, row_hi).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((y + ry) / tile_px), row_lo, row_hi).astype(jnp.int32)
     inside = ((rx > 0) & (ry > 0)
               & (x + rx >= 0) & (x - rx < tiles_x * tile_px)
               & (y + ry >= 0) & (y - ry < tiles_y * tile_px))
@@ -108,6 +122,12 @@ def _sorted_stream(tile, live, N: int, T: int, force_pair: bool = False):
     if not force_pair and (T + 1) * (1 << id_bits) < 2 ** 31:
         # packed single-int32 key: (tile << id_bits) | rank; dead -> INT_MAX
         key = jnp.where(live, (tile << id_bits) | rank, jnp.int32(2 ** 31 - 1))
+        # barrier: without it XLA computes the key fusion at the FLAT shape
+        # and re-materializes every [M, N] broadcast input through its own
+        # [M*N] relayout reshape (~14 extra ops; per-op launch overhead is
+        # the wall-clock cost here). The barrier pins the fusion at [M, N]
+        # so exactly ONE reshape feeds the sort.
+        key = jax.lax.optimization_barrier(key)
         skey = jnp.sort(key.reshape(-1), stable=False)
         srank = (skey & ((1 << id_bits) - 1)).astype(jnp.int32)
         dead = skey == jnp.int32(2 ** 31 - 1)
@@ -173,6 +193,7 @@ def bin_gaussian_instances(
     n_tiles_padded: int,
     max_tiles_per_gauss: int = 36,
     order: Optional[jnp.ndarray] = None,
+    band: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> InstanceStream:
     """Tile-sorted instance stream (no per-tile capacity — the Pallas
     rasterizers walk each tile's window with a data-dependent trip count;
@@ -182,7 +203,8 @@ def bin_gaussian_instances(
     I = max_instances
 
     tile, live, trunc = _expand_instances(
-        xys, radii, tiles_x, tiles_y, tile_px, max_tiles_per_gauss, order)
+        xys, radii, tiles_x, tiles_y, tile_px, max_tiles_per_gauss, order,
+        band=band)
     srank, dead, bounds_keys, queries = _sorted_stream(tile, live, N, T)
     srank, dead, bounds_keys = srank[:I], dead[:I], bounds_keys[:I]
 
@@ -191,12 +213,20 @@ def bin_gaussian_instances(
         ordered = jnp.concatenate(
             [order.astype(jnp.int32), jnp.asarray([N], jnp.int32)])
         gids = ordered[gids]
-    # window bounds as ONE compare-reduce fusion: bounds[t] = #{keys < query}
-    # == searchsorted 'left'. T*I compares are ~15M lane-ops (~16 us busy) —
-    # cheaper in wall time than a 17-step unrolled binary search because the
-    # hot path's cost here is per-op launch/boundary overhead, not FLOPs.
-    bounds = jnp.sum(bounds_keys[None, :] < queries[:, None],
-                     axis=1).astype(jnp.int32)  # [T+1], always <= I
+    # window bounds: at flagship scale, ONE compare-reduce fusion
+    # (bounds[t] = #{keys < query} == searchsorted 'left'; ~15M lane-ops,
+    # ~16 us busy) beats a 17-step unrolled binary search because the hot
+    # path's cost is per-op launch/boundary overhead, not FLOPs. The
+    # brute-force T*I product grows quadratically when frames are batched
+    # (batched.py stacks T and I both), so large problems switch back to
+    # the O((T+I) log I) unrolled search.
+    if (T + 1) * I <= 32_000_000:
+        bounds = jnp.sum(bounds_keys[None, :] < queries[:, None],
+                         axis=1).astype(jnp.int32)  # [T+1], always <= I
+    else:
+        bounds = jnp.minimum(
+            jnp.searchsorted(bounds_keys, queries, method='scan_unrolled'),
+            I).astype(jnp.int32)
     starts = jnp.concatenate([
         bounds,
         jnp.full((n_tiles_padded - T,), bounds[-1], jnp.int32),
@@ -233,6 +263,7 @@ def bin_instances_aligned(
     block: int,
     max_tiles_per_gauss: int = 25,
     order: Optional[jnp.ndarray] = None,
+    band: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> AlignedStream:
     """Like ``bin_gaussian_instances`` but with BK-aligned tile windows.
 
@@ -244,7 +275,8 @@ def bin_instances_aligned(
     I = max_instances_padded
 
     tile, live, trunc = _expand_instances(
-        xys, radii, tiles_x, tiles_y, tile_px, max_tiles_per_gauss, order)
+        xys, radii, tiles_x, tiles_y, tile_px, max_tiles_per_gauss, order,
+        band=band)
     srank, dead, bounds_keys, queries = _sorted_stream(tile, live, N, T)
 
     gids_sorted = jnp.where(dead, N, srank)
