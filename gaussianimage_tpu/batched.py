@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from gaussianimage_tpu.ops import rasterize_gaussians_sum
+from gaussianimage_tpu.ops.rasterize_sum import rasterize_gaussians_sum_chw
 
 
 def _batched_raster_config(model, B: int):
@@ -66,12 +66,13 @@ def _raster_stacked(model, flat_splat, band):
     cfg = model.cfg
     xys, radii, conics, colors, opac = flat_splat
     B = band[0].shape[0] // cfg.num_points
-    img, alpha, aux = rasterize_gaussians_sum(
+    img, alpha, aux = rasterize_gaussians_sum_chw(
         xys, conics, colors, opac, cfg.H * B, cfg.W, radii=radii,
         config=_batched_raster_config(model, B), band=band)
     img = jnp.clip(img, 0.0, 1.0)
-    # [H*B, W, 3] -> [B, 3, H, W]
-    img = img.reshape(B, cfg.H, cfg.W, 3).transpose(0, 3, 1, 2)
+    # [3, H*B, W] -> [B, 3, H, W]: ONE transpose (the inference rasterizer
+    # already returns channel-major, skipping the HWC round trip)
+    img = img.reshape(3, B, cfg.H, cfg.W).transpose(1, 0, 2, 3)
     alpha = alpha.reshape(B, cfg.H, cfg.W)
     return img, alpha, aux
 

@@ -172,7 +172,21 @@ class ResidualVQ:
 
     def decompress(self, state: ResidualVQState, indices: jnp.ndarray):
         """Sum of codebook lookups over residual layers (reference
-        quantize.py:146-150)."""
+        quantize.py:146-150). Small codebooks decode through a combined
+        product table — the residual sum is precomputed over all
+        codebook_size^num_quantizers combinations so the per-point work is
+        ONE gather instead of num_quantizers gathers + adds."""
+        K, nq = self.codebook_size, self.num_quantizers
+        if K ** nq <= 4096:
+            combined = state.embed[0]
+            for qi in range(1, nq):
+                combined = (combined[:, None, :]
+                            + state.embed[qi][None, :, :]).reshape(
+                                -1, self.dim)  # [K^qi+1, dim]
+            flat = indices[:, 0]
+            for qi in range(1, nq):
+                flat = flat * K + indices[:, qi]
+            return combined[flat]
         recon = jnp.zeros((indices.shape[0], self.dim), jnp.float32)
         for qi in range(self.num_quantizers):
             recon = recon + state.embed[qi][indices[:, qi]]

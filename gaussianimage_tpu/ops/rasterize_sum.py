@@ -356,22 +356,25 @@ def _gather(static, gids, feat):
 
 
 def _raster_fwd(static, gids, starts, counts, feat):
+    """CHW-native: forward emits [3, H, W] straight from the untile (no HWC
+    transpose) and the backward's cotangent tiling consumes channel-major
+    directly. The public entry transposes to the reference's HWC contract —
+    a transpose the models' own [H,W,3]->[3,H,W] epilogue cancels."""
     tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned = static
     gfeat = _gather(static, gids, feat)
     out_tiled = _fwd_pallas(static, starts, counts, gfeat)
     full = sc.untile_channels(out_tiled, tile_px, tiles_x, H, W,
                               n_chan=_C)
-    img, alpha = full[:3].transpose(1, 2, 0), full[3]
-    return (img, alpha), (gids, starts, counts, feat)
+    return (full[:3], full[3]), (gids, starts, counts, feat)
 
 
 def _raster_bwd(static, res, g):
     tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned = static
     gids, starts, counts, feat = res
-    d_img, d_alpha = g
+    d_img, d_alpha = g  # d_img [3, H, W]
     gfeat = _gather(static, gids, feat)  # cheap recompute
     G = sc.tile_cotangent(
-        jnp.concatenate([d_img.transpose(2, 0, 1), d_alpha[None]], axis=0),
+        jnp.concatenate([d_img, d_alpha[None]], axis=0),
         tile_px, tiles_x, T, H, W, n_chan=_C)
     dgrads = _bwd_pallas(static, starts, counts, gfeat, G)
     if aligned:
@@ -451,7 +454,9 @@ def rasterize_gaussians_sum(
     static = (cfg.tile_px, cfg.tiles_per_step, cfg.block_inst,
               float(cfg.q_cut), sp.tiles_x, sp.T,
               sc.use_interpret(cfg), H, W, sp.I, sp.aligned)
-    img, alpha = _raster(static, gids, starts, counts, feat)
+    img_chw, alpha = _raster(static, gids, starts, counts, feat)
+    img = img_chw.transpose(1, 2, 0)  # reference HWC contract; models that
+    # immediately transpose back to [3, H, W] get both cancelled by XLA
 
     aux = {"n_dropped": sp.n_dropped,
            "max_per_tile_used": counts.max(),
@@ -459,6 +464,42 @@ def rasterize_gaussians_sum(
            "n_dropped_fwd": sp.n_dropped,
            "n_dropped_bwd": sp.n_dropped}
     return img, alpha, aux
+
+
+def rasterize_gaussians_sum_chw(
+    xys: jnp.ndarray,
+    conics: jnp.ndarray,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    H: int,
+    W: int,
+    radii: Optional[jnp.ndarray] = None,
+    config: RasterizeConfig = RasterizeConfig(),
+    band: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Inference-only rasterize returning channel-major [3, H, W] (+ alpha
+    [H, W]) — skips the HWC transpose the differentiable entry pays, for
+    consumers that want CHW anyway (batched decode, [1,3,H,W] outputs).
+    Not differentiable (no custom_vjp); use rasterize_gaussians_sum for
+    training paths."""
+    cfg = config
+    if radii is None:
+        radii = _radii_from_conics(jax.lax.stop_gradient(conics))
+    radii = jax.lax.stop_gradient(radii.astype(jnp.float32))
+    rxy = _axis_radii(jax.lax.stop_gradient(conics), radii, cfg.q_cut)
+    sp = sc.prepare_stream(jax.lax.stop_gradient(xys).astype(jnp.float32),
+                           rxy, H, W, cfg, band=band)
+    feat = sc.pack_feat(xys, conics, colors, opacities, premultiply=True)
+    static = (cfg.tile_px, cfg.tiles_per_step, cfg.block_inst,
+              float(cfg.q_cut), sp.tiles_x, sp.T,
+              sc.use_interpret(cfg), H, W, sp.I, sp.aligned)
+    gfeat = _gather(static, sp.gids, feat)
+    out_tiled = _fwd_pallas(static, sp.starts, sp.counts, gfeat)
+    full = sc.untile_channels(out_tiled, cfg.tile_px, sp.tiles_x, H, W,
+                              n_chan=_C)
+    aux = {"n_dropped": sp.n_dropped,
+           "max_per_tile_used": sp.counts.max()}
+    return full[:3], full[3], aux
 
 
 # ---------------------------------------------------------------------------
