@@ -78,7 +78,8 @@ def scatter_stream_grads(dgfeat, gids, feat):
     I = gids.shape[0]
     safe = jnp.concatenate([gids, jnp.full((dgfeat.shape[0] - I,), N,
                                            jnp.int32)])
-    dfeat = jnp.zeros_like(feat).at[safe].add(dgfeat)
+    dfeat = jnp.zeros_like(feat).at[safe].add(
+        dgfeat, mode="promise_in_bounds")
     return dfeat.at[N].set(0.0)
 
 
@@ -134,7 +135,7 @@ def scatter_block_grads(dgblocks, gids, feat):
     N = feat.shape[0] - 1
     I = gids.shape[0]
     dg = dgblocks.transpose(0, 2, 1).reshape(I, FW)
-    dfeat = jnp.zeros_like(feat).at[gids].add(dg)
+    dfeat = jnp.zeros_like(feat).at[gids].add(dg, mode="promise_in_bounds")
     return dfeat.at[N].set(0.0)
 
 
