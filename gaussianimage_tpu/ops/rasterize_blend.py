@@ -322,8 +322,9 @@ def _blend(static, gids, starts, counts, feat):
 
 def _gather(static, gids, feat):
     BK, aligned = static[2], static[11]
+    interpret = static[7]
     if aligned:
-        return sc.gather_stream_blocks(gids, feat, BK)
+        return sc.gather_stream_blocks(gids, feat, BK, interpret=interpret)
     return sc.gather_stream(gids, feat, BK)
 
 
@@ -350,7 +351,8 @@ def _blend_bwd(static, res, g):
         tile_px, tiles_x, T, H, W)
     dgrads = _blend_bwd_pallas(static, starts, counts, gfeat, out_tiled, G)
     if aligned:
-        dfeat = sc.scatter_block_grads(dgrads, gids, feat)
+        dfeat = sc.scatter_block_grads(dgrads, gids, feat,
+                                       interpret=static[7])
     else:
         dfeat = sc.scatter_stream_grads(dgrads, gids, feat)
     return (sc.float0_like(gids), sc.float0_like(starts),

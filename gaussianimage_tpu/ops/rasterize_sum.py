@@ -349,9 +349,9 @@ def _raster(static, gids, starts, counts, feat):
 
 
 def _gather(static, gids, feat):
-    BK, aligned = static[2], static[10]
+    BK, interpret, aligned = static[2], static[6], static[10]
     if aligned:
-        return sc.gather_stream_blocks(gids, feat, BK)
+        return sc.gather_stream_blocks(gids, feat, BK, interpret=interpret)
     return sc.gather_stream(gids, feat, BK)
 
 
@@ -378,7 +378,8 @@ def _raster_bwd(static, res, g):
         tile_px, tiles_x, T, H, W, n_chan=_C)
     dgrads = _bwd_pallas(static, starts, counts, gfeat, G)
     if aligned:
-        dfeat = sc.scatter_block_grads(dgrads, gids, feat)
+        dfeat = sc.scatter_block_grads(dgrads, gids, feat,
+                                       interpret=static[6])
     else:
         dfeat = sc.scatter_stream_grads(dgrads, gids, feat)
     return (sc.float0_like(gids), sc.float0_like(starts),
@@ -632,8 +633,8 @@ def _raster_l2(static2, gids, starts, counts, feat, gt_tiles):
 def _raster_l2_fwd(static2, gids, starts, counts, feat, gt_tiles):
     BK, aligned = static2[2], static2[10]
     H, W = static2[7], static2[8]
-    gfeat = (sc.gather_stream_blocks(gids, feat, BK) if aligned
-             else sc.gather_stream(gids, feat, BK))
+    gfeat = (sc.gather_stream_blocks(gids, feat, BK, interpret=static2[6])
+             if aligned else sc.gather_stream(gids, feat, BK))
     loss_parts, dgfeat = _fused_l2_pallas(static2, starts, counts, gfeat,
                                           gt_tiles)
     mse = loss_parts.sum() / (3.0 * H * W)
@@ -643,7 +644,8 @@ def _raster_l2_fwd(static2, gids, starts, counts, feat, gt_tiles):
 def _raster_l2_bwd(static2, res, gbar):
     aligned = static2[10]
     gids, starts, counts, feat, dgfeat, gt_tiles = res
-    dfeat = (sc.scatter_block_grads(dgfeat, gids, feat) if aligned
+    dfeat = (sc.scatter_block_grads(dgfeat, gids, feat,
+                                    interpret=static2[6]) if aligned
              else sc.scatter_stream_grads(dgfeat, gids, feat))
     return (sc.float0_like(gids), sc.float0_like(starts),
             sc.float0_like(counts), gbar * dfeat,

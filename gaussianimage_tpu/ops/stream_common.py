@@ -26,10 +26,16 @@ def use_interpret(cfg) -> bool:
 
 
 def auto_max_instances(n: int, cfg) -> int:
-    """Instance-stream capacity: explicit cfg.max_instances or 4N headroom
-    (fitted scenes average ~1-2 tiles/gaussian at 32px tiles; overflow is
-    counted in aux['n_dropped']); rounded up to the chunk size."""
-    cap = cfg.max_instances if cfg.max_instances is not None else max(4 * n, 16384)
+    """Instance-stream capacity: explicit cfg.max_instances, or 4N headroom
+    tapering to 2N + 40k above 20k gaussians — measured per-gaussian tile
+    occupancy FALLS with N (2.5 at 10k pts, 1.66 at 40k on fitted
+    768x512 scenes) because dense fits use smaller gaussians. Overflow is
+    counted in aux['n_dropped'] and warned per training chunk. Rounded up
+    to the chunk size."""
+    if cfg.max_instances is not None:
+        cap = cfg.max_instances
+    else:
+        cap = max(16384, min(4 * n, 2 * n + 40000))
     cap = min(cap, n * cfg.max_tiles_per_gauss)
     return -(-cap // cfg.block_inst) * cfg.block_inst
 
@@ -120,21 +126,79 @@ def tile_cotangent(chans, tile_px: int, tiles_x: int, T: int, H: int, W: int,
     return G
 
 
-def gather_stream_blocks(gids, feat, bk: int):
+_BLK_GROUP = 32  # stream blocks transposed per blockize grid step
+
+
+def _want_interpret(interpret):
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() not in ("tpu",)
+
+
+def blockize_stream(g, bk: int, interpret=None):
+    """[I, 16] rows -> [NB, 16, BK] transposed blocks via a tiny Pallas
+    kernel (per-block VPU transposes). XLA's reshape+transpose lowering of
+    the same relayout measured ~1.2 ms at I~185k (~20 GB/s); in-kernel
+    shuffles run at VMEM speed."""
+    from jax.experimental import pallas as pl
+
+    I = g.shape[0]
+    NB = I // bk
+    G = _BLK_GROUP
+    while NB % G:
+        G //= 2
+
+    def kern(src_ref, dst_ref):
+        src = src_ref[...].reshape(G, bk, FW)
+        for i in range(G):
+            dst_ref[i] = src[i].T
+
+    return pl.pallas_call(
+        kern,
+        grid=(NB // G,),
+        in_specs=[pl.BlockSpec((G * bk, FW), lambda b: (b, 0))],
+        out_specs=pl.BlockSpec((G, FW, bk), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB, FW, bk), jnp.float32),
+        interpret=_want_interpret(interpret),
+    )(g)
+
+
+def unblockize_stream(dgb, bk: int, interpret=None):
+    """[NB, 16, BK] blocks -> [I, 16] rows (inverse of blockize_stream)."""
+    from jax.experimental import pallas as pl
+
+    NB = dgb.shape[0]
+    G = _BLK_GROUP
+    while NB % G:
+        G //= 2
+
+    def kern(src_ref, dst_ref):
+        rows = [src_ref[i].T for i in range(G)]  # G x [bk, FW]
+        dst_ref[...] = jnp.concatenate(rows, axis=0)
+
+    return pl.pallas_call(
+        kern,
+        grid=(NB // G,),
+        in_specs=[pl.BlockSpec((G, FW, bk), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((G * bk, FW), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((NB * bk, FW), jnp.float32),
+        interpret=_want_interpret(interpret),
+    )(dgb)
+
+
+def gather_stream_blocks(gids, feat, bk: int, interpret=None):
     """[NB, 16, BK] transposed feature blocks (NB = I/bk) in aligned-stream
     order. Full 128-lane VMEM tiles (bk >= 64), vs 8x lane padding for a
     flat [I, 16] layout — this is what makes 100k+ gaussian scenes fit."""
-    I = gids.shape[0]
     g = feat[gids]  # [I, 16]
-    return g.reshape(I // bk, bk, FW).transpose(0, 2, 1)
+    return blockize_stream(g, bk, interpret)
 
 
-def scatter_block_grads(dgblocks, gids, feat):
+def scatter_block_grads(dgblocks, gids, feat, interpret=None):
     """Inverse of gather_stream_blocks for gradients: [NB, 16, BK] ->
     per-gaussian sums via one deterministic segment scatter-add."""
     N = feat.shape[0] - 1
-    I = gids.shape[0]
-    dg = dgblocks.transpose(0, 2, 1).reshape(I, FW)
+    dg = unblockize_stream(dgblocks, dgblocks.shape[2], interpret)
     dfeat = jnp.zeros_like(feat).at[gids].add(dg, mode="promise_in_bounds")
     return dfeat.at[N].set(0.0)
 
