@@ -75,3 +75,16 @@ def test_decode_batch_matches_per_frame():
                                      encs[b])["render"][0]
         np.testing.assert_allclose(np.asarray(out["render"][b]),
                                    np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_blockize_roundtrip():
+    from gaussianimage_tpu.ops import stream_common as sc
+
+    rng = np.random.default_rng(0)
+    g = jnp.asarray(rng.normal(size=(512, 16)).astype(np.float32))
+    blocks = sc.blockize_stream(g, 64, interpret=True)
+    assert blocks.shape == (8, 16, 64)
+    np.testing.assert_array_equal(
+        np.asarray(blocks[2]), np.asarray(g[128:192]).T)
+    back = sc.unblockize_stream(blocks, 64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(g))
