@@ -234,3 +234,42 @@ def test_fused_l2_matches_render_plus_loss():
     for a, b, name in zip(g1, g2, ("xys", "conics", "colors", "opac")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-8, err_msg=name)
+
+
+def test_fused_l2_deep_tile():
+    # one tile holding many chunk-loads of instances (deep data-dependent
+    # trip counts in both fused passes)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gaussianimage_tpu.ops import RasterizeConfig
+    from gaussianimage_tpu.ops.rasterize_sum import (
+        rasterize_gaussians_sum, rasterize_gaussians_sum_l2)
+
+    H, W = 64, 96
+    cfg = RasterizeConfig()
+    N = 4 * cfg.block_inst + 80  # all in one tile -> many chunks
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    xys = jnp.asarray([20.0, 20.0]) + jax.random.uniform(k1, (N, 2)) * 4.0
+    conics = jnp.tile(jnp.asarray([[0.5, 0.1, 0.6]]), (N, 1))
+    colors = jax.random.uniform(k2, (N, 3))
+    opac = jax.random.uniform(k3, (N, 1), minval=0.2, maxval=1.0)
+    gt = jax.random.uniform(jax.random.PRNGKey(9), (3, H, W))
+
+    def fused(args):
+        mse, _ = rasterize_gaussians_sum_l2(*args, gt, H, W, config=cfg)
+        return mse
+
+    def unfused(args):
+        img, _, _ = rasterize_gaussians_sum(*args, H, W, config=cfg)
+        return jnp.mean((jnp.clip(img, 0, 1).transpose(2, 0, 1) - gt) ** 2)
+
+    args = (xys, conics, colors, opac)
+    np.testing.assert_allclose(float(fused(args)), float(unfused(args)),
+                               rtol=1e-5)
+    gf = jax.grad(fused)(args)
+    gu = jax.grad(unfused)(args)
+    for a, b in zip(gf, gu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
