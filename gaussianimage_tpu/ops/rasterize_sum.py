@@ -683,7 +683,8 @@ def rasterize_gaussians_sum_l2(
                            rxy, H, W, cfg)
     gids, starts, counts = sp.gids, sp.starts, sp.counts
 
-    feat = sc.pack_feat(xys, conics, colors, opacities, premultiply=True)
+    feat = sc.pack_feat(xys, conics, colors, opacities, premultiply=True,
+                        inplace=True)
     gt_tiles = sc.tile_cotangent(gt_chw.astype(jnp.float32),
                                  cfg.tile_px, sp.tiles_x, sp.T, H, W,
                                  n_chan=_C)

@@ -40,7 +40,8 @@ def auto_max_instances(n: int, cfg) -> int:
     return -(-cap // cfg.block_inst) * cfg.block_inst
 
 
-def pack_feat(xys, conics, colors, opac, premultiply: bool = False):
+def pack_feat(xys, conics, colors, opac, premultiply: bool = False,
+              inplace: bool = False):
     """[N+1, 16] rows (xy, conic a b c, rgb, opacity, pad); the zero row at
     index N absorbs dead-slot reads and dead-slot gradient scatters.
 
@@ -55,6 +56,18 @@ def pack_feat(xys, conics, colors, opac, premultiply: bool = False):
     cols = colors.astype(jnp.float32)
     if premultiply:
         cols = cols * op
+    if inplace:
+        # static-slice updates rather than a concatenate: inside the
+        # training scan XLA lays the concat row-major and it costs
+        # ~48 us/step; update-slices fuse into one in-place build
+        # (-80 us/step measured). The render/decode executables prefer
+        # the concat (XLA picks col-major there, ~2 us).
+        feat = jnp.zeros((N + 1, FW), jnp.float32)
+        feat = feat.at[:N, 0:2].set(xys.astype(jnp.float32))
+        feat = feat.at[:N, 2:5].set(conics.astype(jnp.float32))
+        feat = feat.at[:N, 5:8].set(cols)
+        feat = feat.at[:N, 8:9].set(op)
+        return feat
     return jnp.concatenate([
         jnp.concatenate([
             xys.astype(jnp.float32),
