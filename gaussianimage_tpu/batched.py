@@ -30,13 +30,19 @@ from gaussianimage_tpu.ops.rasterize_sum import rasterize_gaussians_sum_chw
 
 def _batched_raster_config(model, B: int):
     """Raster config for the stacked canvas: the instance budget scales with
-    B*N, and the flat-stream VMEM ceiling rises to keep the fast flat layout
-    (3x average occupancy measured ~2.5 on fitted scenes; a [I, 16] f32
-    stream occupies I*512 bytes of VMEM after lane padding, so 3*B*N stays
-    under the 100 MB limit through B*N ~ 180k)."""
+    B*N (3x average occupancy; measured ~2.5 on fitted scenes), and the
+    flat-stream ceiling rises to flat_stream_limit=196608 instances — at
+    I*512 bytes of VMEM after lane padding that is ~96 MiB, the most the
+    fast flat [I, 16] layout can hold under the 100 MB limit. Larger batches
+    spill to the BK-aligned transposed-block layout automatically."""
     cfg = model.cfg.raster
     cap = 3 * B * model.cfg.num_points
+    # keep the auto path's tapered per-gaussian span (3x the 3-slot average
+    # budget = 9 tiles); the explicit max_instances below would otherwise
+    # re-enable the full max_tiles_per_gauss and inflate the binning sort ~2x
+    span = min(cfg.max_tiles_per_gauss, 9)
     return cfg._replace(max_instances=max(cap, 16384),
+                        max_tiles_per_gauss=span,
                         flat_stream_limit=max(cfg.flat_stream_limit, 196608))
 
 

@@ -124,6 +124,12 @@ class GaussianModelBase:
         """Post-step carried-state update (EMA masks, VQ codebooks, ...)."""
         return extra
 
+    def step_metrics(self, params, extra) -> Dict[str, jnp.ndarray]:
+        """Extra per-step scalar metrics carried out of the training scan
+        (e.g. wMask sparsity — reference train.py:153-161 logs
+        sparsity_hard/soft + num_points_active every 100 iters)."""
+        return {}
+
     def post_update(self, params, extra, iteration):
         """Post-step params rewrite hook (e.g. wMask logit finalization at the
         stop-mask iteration, reference gaussianimage_cholesky_wMask.py:259-265)."""
@@ -181,8 +187,9 @@ class GaussianModelBase:
         raux = aux.get("pkg", {}).get("raster_aux", None)
         n_dropped = (jnp.asarray(raux["n_dropped"], jnp.int32)
                      if raux is not None else jnp.int32(0))
-        return TrainState(params, opt_state, extra), {
-            "loss": loss, "psnr": psnr, "n_dropped": n_dropped}
+        metrics = {"loss": loss, "psnr": psnr, "n_dropped": n_dropped}
+        metrics.update(self.step_metrics(params, extra))
+        return TrainState(params, opt_state, extra), metrics
 
     def train_chunk(self, state: TrainState, gt_image, key, start_iteration,
                     n_steps: int):
@@ -196,9 +203,9 @@ class GaussianModelBase:
             k = (jax.random.fold_in(key, i) if key is not None else None)
             st, m = self.train_step(st, gt_image, key=k,
                                     iteration=start_iteration + i)
-            return (st,), (m["loss"], m["psnr"], m["n_dropped"])
+            return (st,), m
 
-        (state,), (losses, psnrs, dropped) = jax.lax.scan(
-            body, (state,), jnp.arange(n_steps))
-        return state, {"loss": losses, "psnr": psnrs,
-                       "n_dropped_max": dropped.max()}
+        (state,), ms = jax.lax.scan(body, (state,), jnp.arange(n_steps))
+        metrics = {k: v for k, v in ms.items() if k != "n_dropped"}
+        metrics["n_dropped_max"] = ms["n_dropped"].max()
+        return state, metrics

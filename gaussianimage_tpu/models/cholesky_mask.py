@@ -195,6 +195,18 @@ class GaussianImageCholeskyMask(GaussianImageCholesky):
             jnp.float32)
         return xys, radii, conics, colors, det
 
+    # -- run observability -----------------------------------------------------
+    def step_metrics(self, params, extra):
+        """Mask sparsity scalars, the subject of a wMask experiment
+        (reference train.py:153-161: sparsity_hard = mean(prob > 0.5),
+        sparsity_soft = mean(prob), num_points_active = N * hard)."""
+        probs = jax.nn.sigmoid(params["_mask_logits"])
+        hard = jnp.mean((probs > 0.5).astype(jnp.float32))
+        n = params["_mask_logits"].shape[0]
+        return {"sparsity_hard": hard,
+                "sparsity_soft": jnp.mean(probs),
+                "num_points_active": (hard * n).astype(jnp.int32)}
+
     # -- EMA + finalization ----------------------------------------------------
     def update_extra(self, extra, params, aux, iteration):
         mc = self.mask_cfg

@@ -156,6 +156,9 @@ def blockize_stream(g, bk: int, interpret=None):
     from jax.experimental import pallas as pl
 
     I = g.shape[0]
+    assert I % bk == 0 and I > 0, (
+        f"blockize_stream: stream length {I} not a positive multiple of "
+        f"block_inst {bk} (the grid would silently drop tail rows)")
     NB = I // bk
     G = _BLK_GROUP
     while NB % G:
@@ -181,6 +184,7 @@ def unblockize_stream(dgb, bk: int, interpret=None):
     from jax.experimental import pallas as pl
 
     NB = dgb.shape[0]
+    assert NB > 0, "unblockize_stream: empty block stream"
     G = _BLK_GROUP
     while NB % G:
         G //= 2
@@ -250,8 +254,14 @@ def prepare_stream(xys, radii, H: int, W: int, cfg, order=None,
     # 8) instead of always paying the configured worst case — the stream
     # cap I0 would truncate demand beyond that anyway, and overflow is
     # counted (fitted scenes measure ~2.5 tiles/gaussian with the exact
-    # anisotropic bboxes, so this keeps ~5x per-gaussian headroom)
-    m_span = min(cfg.max_tiles_per_gauss, max(8, -(-3 * I0 // max(N, 1))))
+    # anisotropic bboxes, so this keeps ~5x per-gaussian headroom). The
+    # taper applies only to the AUTO instance budget: a user who sets
+    # max_instances explicitly sized the stream and gets the full
+    # max_tiles_per_gauss span.
+    if cfg.max_instances is not None:
+        m_span = cfg.max_tiles_per_gauss
+    else:
+        m_span = min(cfg.max_tiles_per_gauss, max(8, -(-3 * I0 // max(N, 1))))
     aligned = I0 > cfg.flat_stream_limit
     if aligned:
         I = I0 + T_real * BK  # headroom for per-live-tile block padding

@@ -32,19 +32,29 @@ def maybe_initialize_distributed() -> bool:
     can auto-detect). Safe no-op for single-process runs and repeat calls.
 
     Returns True if the distributed runtime is (now) initialized.
+
+    Order matters: ``initialize()`` must run BEFORE anything that touches
+    the XLA backend — ``jax.process_count()``/``jax.devices()`` initialize
+    it as a side effect and make a later ``initialize()`` raise. So the
+    launch-environment check is pure env-var sniffing, and the
+    already-initialized check reads the distributed client directly.
     """
-    if jax.process_count() > 1:  # already initialized by someone else
-        return True
     want = any(os.environ.get(k) for k in (
         "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
         "SLURM_JOB_NUM_NODES", "TPU_WORKER_HOSTNAMES"))
     if not want:
         return False
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
+        return True
     try:
         jax.distributed.initialize()
         return True
     except RuntimeError:
-        return jax.process_count() > 1  # e.g. already initialized
+        # initialize() raced something that already set up the backend (or
+        # the env advertises a coordinator this process can't reach); report
+        # whatever multi-processness actually materialized
+        return jax.process_count() > 1
 
 
 def mesh_axes_for(n_devices: int, want_data: bool = True,

@@ -32,8 +32,10 @@ from gaussianimage_tpu.models import make_model
 from gaussianimage_tpu.utils import LogWriter, ms_ssim
 from gaussianimage_tpu.utils.checkpoint import (
     load_checkpoint,
+    load_train_state,
     merge_matching,
     save_checkpoint,
+    save_train_state,
 )
 from gaussianimage_tpu.utils.image_io import save_image_array
 
@@ -121,6 +123,24 @@ class SimpleTrainer2d:
             params = merge_matching(self.state.params, ckpt["params"])
             self.state = self.state._replace(params=params)
 
+        # mid-fit resume (periodic snapshots every ckpt_every iterations;
+        # SURVEY §5 failure-detection row — a crash at iter 49k must not
+        # lose the fit)
+        self.ckpt_every = int(getattr(args, "ckpt_every", 10000) or 0)
+        self.start_iter = 0
+        self._hist = {"iter": [], "loss": [], "psnr": []}
+        resume_path = self.log_dir / "resume.npz"
+        if bool(getattr(args, "resume", False)) and resume_path.exists():
+            self.state, self.start_iter, aux = load_train_state(
+                resume_path, self.state)
+            if "key" in aux:
+                self.key = jnp.asarray(aux["key"], dtype=self.key.dtype)
+            for k in self._hist:
+                if f"hist_{k}" in aux:
+                    self._hist[k] = np.asarray(aux[f"hist_{k}"]).tolist()
+            self.logwriter.write(
+                f"resumed from {resume_path} at iteration {self.start_iter}")
+
         self._chunk_fn = jax.jit(
             lambda st, gt, key, start: self.model.train_chunk(
                 st, gt, key, start, self.chunk_size),
@@ -147,10 +167,12 @@ class SimpleTrainer2d:
                 self.logwriter.write(f"wandb unavailable ({e}); file logging only")
 
     # -- run observability (reference train.py:147-221 wandb logging) --------
-    def _log_scalars(self, it0, losses, psnrs, n):
+    def _log_scalars(self, it0, losses, psnrs, n, extra_series=None):
         """Append every ``log_every``-th step to scalars.jsonl (machine
         readable, one JSON object per line) like the reference logs scalars
-        to wandb every 100 iterations."""
+        to wandb every 100 iterations. ``extra_series`` carries model-
+        specific per-step arrays (wMask sparsity_hard/soft +
+        num_points_active, reference train.py:153-161)."""
         if not self.log_every:
             return
         import json
@@ -160,6 +182,10 @@ class SimpleTrainer2d:
                 if step % self.log_every == 0 or step == 1:
                     rec = {"iteration": step, "loss": float(losses[j]),
                            "psnr": float(psnrs[j])}
+                    for k, v in (extra_series or {}).items():
+                        rec[k] = (int(v[j]) if np.issubdtype(
+                            np.asarray(v[j]).dtype, np.integer)
+                            else float(v[j]))
                     fh.write(json.dumps(rec) + "\n")
                     if self._wandb is not None:
                         self._wandb.log(rec, step=step)
@@ -197,13 +223,15 @@ class SimpleTrainer2d:
     def train(self):
         from tqdm import tqdm
 
-        psnr_list, iter_list, loss_list = [], [], []
+        iter_list = self._hist["iter"]
+        loss_list = self._hist["loss"]
+        psnr_list = self._hist["psnr"]
         start_time = time.time()
-        it = 0
+        it = self.start_iter  # nonzero after --resume
         key = self.key
         profile_dir = self.profile_dir
         warned_overflow = False
-        pbar = tqdm(total=self.iterations, desc=self.image_name,
+        pbar = tqdm(total=self.iterations, initial=it, desc=self.image_name,
                     unit="it", dynamic_ncols=True,
                     disable=not sys.stderr.isatty())
         while it < self.iterations:
@@ -233,7 +261,10 @@ class SimpleTrainer2d:
             loss_list.extend(losses[:n].tolist())
             psnr_list.extend(psnrs[:n].tolist())
             iter_list.extend(range(it + 1, it + n + 1))
-            self._log_scalars(it, losses, psnrs, n)
+            extra_series = {
+                k: np.asarray(v) for k, v in metrics.items()
+                if k not in ("loss", "psnr", "n_dropped_max")}
+            self._log_scalars(it, losses, psnrs, n, extra_series)
             it += n
             pbar.update(n)
             pbar.set_postfix(loss=f"{losses[n-1]:.5f}",
@@ -253,6 +284,14 @@ class SimpleTrainer2d:
             if self.viz_every and (it % self.viz_every < self.chunk_size
                                    or it >= self.iterations):
                 self._dump_viz(it)
+            if (self.ckpt_every and it < self.iterations
+                    and it % self.ckpt_every < self.chunk_size):
+                save_train_state(
+                    self.log_dir / "resume.npz", self.state, it,
+                    {"key": np.asarray(key),
+                     "hist_iter": np.asarray(iter_list),
+                     "hist_loss": np.asarray(loss_list),
+                     "hist_psnr": np.asarray(psnr_list)})
         pbar.close()
         end_time = time.time() - start_time
 
@@ -353,6 +392,12 @@ def parse_args(argv):
     p.add_argument("--chunk_size", type=int, default=250,
                    help="train iterations per on-device scan chunk")
     p.add_argument("--checkpoint_root", type=str, default="./checkpoints")
+    p.add_argument("--ckpt_every", type=int, default=10000,
+                   help="save a mid-fit resume snapshot (params + optimizer "
+                        "+ PRNG key + history) every N iterations; 0 = off")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted fit from the image's "
+                        "resume.npz snapshot if present")
     p.add_argument("--shape_bucket", type=int, default=0,
                    help="pad images up to a multiple of this many pixels so "
                         "variable-size datasets share compiled executables "

@@ -37,7 +37,8 @@ from gaussianimage_tpu.ops import RasterizeConfig
 from gaussianimage_tpu.parallel import (
     init_sharded_fit, make_mesh, make_sharded_train_step,
     maybe_initialize_distributed, mesh_axes_for)
-from gaussianimage_tpu.utils.checkpoint import save_checkpoint
+from gaussianimage_tpu.utils.checkpoint import (
+    load_train_state, save_checkpoint, save_train_state)
 from gaussianimage_tpu.utils.logwriter import LogWriter
 
 
@@ -45,12 +46,22 @@ def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-d", "--dataset", type=str, default="./datasets/kodak/")
     p.add_argument("--data_name", type=str, default="synthetic")
+    p.add_argument("--model_name", type=str,
+                   default="GaussianImage_Cholesky",
+                   help="any 2D model exposing splat() (Cholesky, RS, "
+                        "wMask) — the sharded step is model-agnostic")
     p.add_argument("--iterations", type=int, default=50000)
     p.add_argument("--num_points", type=int, default=10000)
     p.add_argument("--chunk_size", type=int, default=500)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--checkpoint_root", type=str, default="./checkpoints")
+    p.add_argument("--ckpt_every", type=int, default=10000,
+                   help="save a mid-fit resume snapshot per image group "
+                        "every N iterations; 0 = off")
+    p.add_argument("--resume", action="store_true",
+                   help="skip finished groups / continue interrupted ones "
+                        "from their resume snapshots")
     p.add_argument("--mesh", type=str, default=None,
                    help="data,gauss,tile axis sizes (default: auto from "
                         "device count)")
@@ -99,19 +110,32 @@ def main(argv=None):
         while len(group) < D:  # pad the tail group by repeating its last
             group.append(group[-1])
         names = [n for n, _ in group]
+        if args.resume and all(
+                (root / n / "training.npy").exists() for n in set(names)):
+            continue  # whole group already fitted
         images = np.concatenate([im for _, im in group], axis=0)
         H, W = images.shape[2], images.shape[3]
         model = make_model(
-            "GaussianImage_Cholesky", num_points=args.num_points, H=H, W=W,
+            args.model_name, num_points=args.num_points, H=H, W=W,
             lr=args.lr, raster=RasterizeConfig(tile_px=args.tile_px),
             block_h=args.tile_px, block_w=args.tile_px)
         params, opt_state, gt = init_sharded_fit(model, mesh, images,
                                                  seed=args.seed)
+        it = 0
+        resume_path = root / f"resume_{names[0]}.npz"
+        if args.resume and resume_path.exists():
+            shardings = jax.tree.map(lambda x: x.sharding,
+                                     (params, opt_state))
+            (params, opt_state), it, _ = load_train_state(
+                resume_path, (params, opt_state))
+            # re-place the loaded host leaves with the step's shardings
+            params, opt_state = jax.tree.map(
+                jax.device_put, (params, opt_state), shardings)
+            logwriter.write(f"resumed group {names} at iteration {it}")
         step = make_sharded_train_step(model, mesh,
                                        n_steps=args.chunk_size)(
             params, opt_state, gt)
         t0 = time.time()
-        it = 0
         loss = psnr = None
         warned_overflow = False
         while it < args.iterations:
@@ -131,6 +155,9 @@ def main(argv=None):
                 logwriter.write(
                     f"iter {it}: loss {lv.mean():.7f} psnr/image "
                     f"{np.round(pv, 3).tolist()}")
+            if (args.ckpt_every and it < args.iterations
+                    and it % args.ckpt_every < args.chunk_size):
+                save_train_state(resume_path, (params, opt_state), it)
         dt = time.time() - t0
         pv = np.asarray(psnr)
         host_params = jax.tree.map(np.asarray, params)  # gather shards
