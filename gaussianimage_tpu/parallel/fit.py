@@ -66,48 +66,108 @@ def sharded_render(model, mesh: Mesh, params_local, tile_idx, n_tiles: int):
     return img, aux["n_dropped"]  # [h_loc, W, 3], scalar
 
 
-def make_sharded_train_step(model, mesh: Mesh, n_steps: int = 1):
+def make_sharded_train_step(model, mesh: Mesh, n_steps: int = 1,
+                            shard_opt: bool = False):
     """Builds a jitted multi-step sharded train function.
 
     Arguments of the returned fn:
       params:    leaves [D, N, k]  sharded P("data", "gauss")
-      opt_state: adan state, leaves mirroring params
+      opt_state: adan state, leaves mirroring params — sharded
+                 P("data", ("gauss", "tile")) when ``shard_opt``
       gt:        [D, 3, H, W]      sharded P("data", None, "tile", None)
       start_iteration: scalar int
 
     Returns (params, opt_state, loss [D], psnr [D], n_dropped_max [D]) with
     per-image metrics; n_dropped_max is the chunk's worst instance-stream
     overflow (overflow must surface during training, VERDICT r1 #5).
+
+    When the gauss axis is 1, the loss+backward run through the fused
+    render+L2 Pallas kernel (ops/rasterize_sum.py rasterize_gaussians_sum_l2)
+    on each tile shard's row-slice — the same single-pass objective the
+    single-chip trainer uses. With gauss > 1 the partial images must be
+    psum'd before the (nonlinear) clamp+L2, so the unfused path remains.
+
+    ``shard_opt`` (tile-axis optimizer-state sharding, the ZeRO-1 analog):
+    instead of every tile shard all-reducing full gradients and redundantly
+    running Adan on replicated moments, gradients are reduce_scatter'd over
+    the tile axis, each shard updates its 1/t slice of the parameters with
+    its 1/t slice of the moments, and the updated slices all_gather back.
+    Per-step comm drops from 2(t-1)/t·B (ring all-reduce) to (t-1)/t·B
+    (scatter) + (t-1)/t·B (gather) — same wire bytes, but optimizer math
+    and moment memory shrink t-fold. Requires N divisible by
+    (gauss·tile) axis sizes.
     """
     cfg = model.cfg
     assert cfg.loss_type == "L2", "sharded path supports the canonical L2 loss"
     data_ax, gauss_ax, tile_ax = "data", "gauss", "tile"
     n_tiles = mesh.shape[tile_ax]
+    n_gauss = mesh.shape[gauss_ax]
     opt = model._optimizer()
+    use_fused = (n_gauss == 1 and getattr(model, "fused_l2", False)
+                 and not cfg.quantize and hasattr(model, "splat"))
+    if shard_opt:
+        assert cfg.num_points % (n_gauss * n_tiles) == 0, (
+            "shard_opt needs num_points divisible by gauss*tile axis sizes")
 
     def shard_fn(obatched, params, opt_state, gt, start_iteration):
-        # local leaves: params [1, Nloc, k], gt [1, 3, Hloc, W]
+        # local leaves: params [1, Nloc, k], gt [1, 3, Hloc, W];
+        # opt moments [1, Nloc/t, k] when shard_opt else [1, Nloc, k]
         tile_idx = jax.lax.axis_index(tile_ax)
         p_loc = jax.tree.map(lambda x: x[0], params)
         o_loc = jax.tree.map(
             lambda b, x: x[0] if b else x, obatched, opt_state)
         gt_loc = gt[0]  # [3, Hloc, W]
+        h_loc = cfg.H // n_tiles
+        n_slice = cfg.num_points // (n_gauss * n_tiles)
 
         def one_step(carry, i):
             p, o = carry
 
-            def loss_fn(pp):
-                img, nd = sharded_render(model, mesh, pp, tile_idx, n_tiles)
-                return jnp.mean((img.transpose(2, 0, 1) - gt_loc) ** 2), nd
+            if use_fused:
+                def loss_fn(pp):
+                    from gaussianimage_tpu.ops.rasterize_sum import (
+                        rasterize_gaussians_sum_l2)
+                    xys, radii, conics, colors, opac = model.splat(pp)
+                    offset = jnp.stack([
+                        jnp.zeros((), jnp.float32),
+                        (tile_idx * h_loc).astype(jnp.float32)])
+                    mse, raux = rasterize_gaussians_sum_l2(
+                        xys - offset, conics, colors, opac, gt_loc,
+                        h_loc, cfg.W, radii=radii, config=cfg.raster,
+                        clamp=not cfg.no_clamp)
+                    return mse, raux["n_dropped"]
+            else:
+                def loss_fn(pp):
+                    img, nd = sharded_render(model, mesh, pp, tile_idx,
+                                             n_tiles)
+                    return jnp.mean(
+                        (img.transpose(2, 0, 1) - gt_loc) ** 2), nd
 
             (loss, nd), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(p)
-            # gradient all-reduce across tile shards (params replicated there)
-            grads = jax.tree.map(
-                lambda g: jax.lax.psum(g, tile_ax) / n_tiles, grads)
             loss = jax.lax.psum(loss, tile_ax) / n_tiles
-            updates, o = opt.update(grads, o, p)
-            p = optax.apply_updates(p, updates)
+            if shard_opt:
+                # ZeRO-1 over the tile axis: reduce_scatter grads, update
+                # this shard's parameter/moment slice, all_gather params
+                def rs(g):
+                    return jax.lax.psum_scatter(
+                        g, tile_ax, scatter_dimension=0, tiled=True
+                    ) / n_tiles
+                g_slice = jax.tree.map(rs, grads)
+                p_slice = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, tile_idx * n_slice, n_slice, axis=0), p)
+                updates, o = opt.update(g_slice, o, p_slice)
+                p_slice = optax.apply_updates(p_slice, updates)
+                p = jax.tree.map(
+                    lambda x: jax.lax.all_gather(
+                        x, tile_ax, axis=0, tiled=True), p_slice)
+            else:
+                # gradient all-reduce across tile shards (params replicated)
+                grads = jax.tree.map(
+                    lambda g: jax.lax.psum(g, tile_ax) / n_tiles, grads)
+                updates, o = opt.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
             psnr = 10.0 * jnp.log10(1.0 / jnp.maximum(loss, 1e-12))
             return (p, o), (loss, psnr, nd)
 
@@ -123,15 +183,19 @@ def make_sharded_train_step(model, mesh: Mesh, n_steps: int = 1):
 
     def build(params, opt_state, gt):
         obatched = _opt_batched_mask(model, opt, opt_state)
+        ospec = (P(data_ax, (gauss_ax, tile_ax)) if shard_opt
+                 else P(data_ax, gauss_ax))
 
-        def specs_like(tree, mask):
+        def specs_like(tree, mask, batched_spec):
             return jax.tree.map(
-                lambda x, b: P(data_ax, gauss_ax) if b else P(), tree, mask)
+                lambda x, b: batched_spec if b else P(), tree, mask)
 
         pmask = jax.tree.map(lambda x: True, params)
-        in_specs = (specs_like(params, pmask), specs_like(opt_state, obatched),
+        in_specs = (specs_like(params, pmask, P(data_ax, gauss_ax)),
+                    specs_like(opt_state, obatched, ospec),
                     P(data_ax, None, tile_ax, None), P())
-        out_specs = (specs_like(params, pmask), specs_like(opt_state, obatched),
+        out_specs = (specs_like(params, pmask, P(data_ax, gauss_ax)),
+                     specs_like(opt_state, obatched, ospec),
                      P(data_ax), P(data_ax), P(data_ax))
         fn = jax.shard_map(functools.partial(shard_fn, obatched), mesh=mesh,
                            in_specs=in_specs, out_specs=out_specs,
@@ -141,11 +205,15 @@ def make_sharded_train_step(model, mesh: Mesh, n_steps: int = 1):
     return build
 
 
-def init_sharded_fit(model, mesh: Mesh, images, seed: int = 1):
+def init_sharded_fit(model, mesh: Mesh, images, seed: int = 1,
+                     shard_opt: bool = False):
     """Initialize a sharded multi-image fit. images: [D, 3, H, W] with
     D == mesh data-axis size. Returns (params, opt_state, gt) placed with the
     step's shardings (data-parallel over images is pure data-parallelism —
-    every image gets an independent random init and optimizer state)."""
+    every image gets an independent random init and optimizer state).
+    ``shard_opt`` must match make_sharded_train_step's flag: optimizer
+    moments then shard over (gauss, tile) so each tile shard holds 1/t of
+    them."""
     D = images.shape[0]
     assert D == mesh.shape["data"], (D, dict(mesh.shape))
     keys = jax.random.split(jax.random.PRNGKey(seed), D)
@@ -153,13 +221,15 @@ def init_sharded_fit(model, mesh: Mesh, images, seed: int = 1):
     opt = model._optimizer()
     opt_state = opt.init(params)  # moment leaves mirror [D, N, k]
     obatched = _opt_batched_mask(model, opt, opt_state)
+    ospec = P("data", ("gauss", "tile")) if shard_opt else P("data", "gauss")
 
-    def put(x, batched):
-        spec = P("data", "gauss") if batched else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+    def put(x, batched, spec=P("data", "gauss")):
+        return jax.device_put(
+            x, NamedSharding(mesh, spec if batched else P()))
 
     params = jax.tree.map(lambda x: put(x, True), params)
-    opt_state = jax.tree.map(put, opt_state, obatched)
+    opt_state = jax.tree.map(
+        lambda x, b: put(x, b, ospec), opt_state, obatched)
     gt = jax.device_put(jnp.asarray(images, jnp.float32),
                         NamedSharding(mesh, P("data", None, "tile", None)))
     return params, opt_state, gt

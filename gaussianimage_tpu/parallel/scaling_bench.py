@@ -37,6 +37,42 @@ def _axes_compute(nd: int):
     return {"data": 1, "gauss": gauss, "tile": tile}
 
 
+def comm_accounting(H: int, W: int, num_points: int, param_cols: int,
+                    axes: dict, shard_opt: bool = False) -> dict:
+    """Analytic per-step collective volume (bytes) for the sharded train
+    step — what actually rides the ICI links each iteration.
+
+    - ``gauss`` axis (size g>1): ONE image psum per render; each shard
+      contributes its [H/t, W, 3] f32 partial. Ring all-reduce wire cost =
+      2(g-1)/g x logical bytes.
+    - ``tile`` axis (size t>1): ONE gradient combine per backward over the
+      local parameter leaves ([N/g, cols] f32). Replicated-opt all-reduce
+      = 2(t-1)/t x B; shard_opt = reduce_scatter (t-1)/t x B + params
+      all_gather (t-1)/t x B (same wire bytes, t-fold less optimizer math
+      and moment memory).
+    """
+    g, t = axes.get("gauss", 1), axes.get("tile", 1)
+    out = {}
+    h_loc = H // max(t, 1)
+    img_bytes = h_loc * W * 3 * 4
+    out["gauss_psum_logical_bytes"] = img_bytes if g > 1 else 0
+    out["gauss_psum_wire_bytes"] = (
+        int(2 * (g - 1) / g * img_bytes) if g > 1 else 0)
+    grad_bytes = (num_points // max(g, 1)) * param_cols * 4
+    out["tile_grad_logical_bytes"] = grad_bytes if t > 1 else 0
+    if t > 1:
+        if shard_opt:
+            wire = int((t - 1) / t * grad_bytes) * 2  # scatter + gather
+        else:
+            wire = int(2 * (t - 1) / t * grad_bytes)
+    else:
+        wire = 0
+    out["tile_grad_wire_bytes"] = wire
+    out["total_wire_bytes_per_step"] = (
+        out["gauss_psum_wire_bytes"] + out["tile_grad_wire_bytes"])
+    return out
+
+
 def _time_steps(step, params, opt_state, gt, n_steps, reps=3):
     out = step(params, opt_state, gt, jnp.asarray(1))
     jax.block_until_ready(out[0])  # warmup + compile
@@ -60,30 +96,52 @@ def run(n_steps: int = 20, H: int = 256, W: int = 256, N: int = 4096):
     sizes = [d for d in (1, 2, 4, 8, 16) if d <= n_dev_total]
     raster = RasterizeConfig(tile_px=16)
 
-    def build_and_time(axes, D):
+    # per-gaussian trainable columns (xyz 2 + cholesky 3 + color 3)
+    PARAM_COLS = 8
+
+    def build_and_time(axes, D, shard_opt=False):
         mesh = make_mesh(dict(axes))
         model = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
                            raster=raster, block_h=16, block_w=16)
         images = np.concatenate(
             [synthetic_image(H, W, seed=i) for i in range(D)], axis=0)
-        params, opt_state, gt = init_sharded_fit(model, mesh, images)
-        step = make_sharded_train_step(model, mesh, n_steps=n_steps)(
+        params, opt_state, gt = init_sharded_fit(model, mesh, images,
+                                                 shard_opt=shard_opt)
+        step = make_sharded_train_step(model, mesh, n_steps=n_steps,
+                                       shard_opt=shard_opt)(
             params, opt_state, gt)
         dt = _time_steps(step, params, opt_state, gt, n_steps)
         return D * H * W * n_steps / dt
 
-    strong, weak = [], []
+    def row(axes, px, shard_opt=False):
+        nd = int(np.prod(list(axes.values())))
+        return {"devices": nd, "mesh": dict(axes),
+                "pixels_per_s": round(px, 1),
+                "comm_per_step": comm_accounting(
+                    H, W, N, PARAM_COLS, axes, shard_opt)}
+
+    strong, strong_tile, weak = [], [], []
     for nd in sizes:
-        px = build_and_time(_axes_compute(nd), 1)
-        strong.append({"devices": nd, "mesh": _axes_compute(nd),
-                       "pixels_per_s": round(px, 1)})
+        axes = _axes_compute(nd)
+        strong.append(row(axes, build_and_time(axes, 1)))
+    for nd in sizes:
+        # tile-only strong scaling: gauss=1 meshes run the fused
+        # render+L2 Pallas kernel per row-slice (parallel/fit.py), both
+        # with replicated and with tile-sharded (ZeRO-1) optimizer state
+        if H // (nd * 16) < 1 or (H // nd) % 16:
+            continue
+        axes = {"data": 1, "gauss": 1, "tile": nd}
+        r = row(axes, build_and_time(axes, 1))
+        r_so = row(axes, build_and_time(axes, 1, shard_opt=True),
+                   shard_opt=True)
+        r["pixels_per_s_shard_opt"] = r_so["pixels_per_s"]
+        r["comm_per_step_shard_opt"] = r_so["comm_per_step"]
+        strong_tile.append(r)
     for nd in sizes:
         axes = {"data": nd, "gauss": 1, "tile": 1}
-        px = build_and_time(axes, nd)
-        weak.append({"devices": nd, "mesh": axes,
-                     "pixels_per_s": round(px, 1)})
+        weak.append(row(axes, build_and_time(axes, nd)))
     base = strong[0]["pixels_per_s"]
-    for rows in (strong, weak):
+    for rows in (strong, strong_tile, weak):
         for r in rows:
             r["efficiency"] = round(
                 r["pixels_per_s"] / (base * r["devices"]), 3)
@@ -91,7 +149,8 @@ def run(n_steps: int = 20, H: int = 256, W: int = 256, N: int = 4096):
               "devices_total": n_dev_total,
               "problem": {"H": H, "W": W, "num_points": N,
                           "steps_timed": n_steps},
-              "strong": strong, "weak_data": weak}
+              "strong": strong, "strong_tile_fused": strong_tile,
+              "weak_data": weak}
     if jax.default_backend() == "cpu":
         result["note"] = (
             "virtual CPU devices share one host thread pool: the 1-device "
@@ -108,5 +167,5 @@ if __name__ == "__main__":
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
     res = run()
-    with open("SCALING_r02.json", "w") as fh:
+    with open("SCALING_r03.json", "w") as fh:
         json.dump(res, fh, indent=1)

@@ -66,6 +66,57 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(loss)[d], float(l), rtol=1e-4)
 
 
+def test_sharded_fused_l2_matches_single_device():
+    # gauss=1 meshes take the fused render+L2 Pallas path (the same kernel
+    # the single-chip trainer uses); verify against an unsharded step
+    model, images = _setup(D=1, H=32, W=48, N=256)
+    mesh = make_mesh({"data": 1, "gauss": 1, "tile": 2})
+    params, opt_state, gt = init_sharded_fit(model, mesh, images, seed=5)
+    step = make_sharded_train_step(model, mesh, n_steps=3)(
+        params, opt_state, gt)
+    p2, _, loss, _, _ = step(params, opt_state, gt, jnp.asarray(1))
+
+    import optax
+    key = jax.random.split(jax.random.PRNGKey(5), 1)[0]
+    opt = model._optimizer()
+    p = model.init_params(key)
+    o = opt.init(p)
+    for i in range(3):
+        def loss_f(pp):
+            out = model.render(pp)["render"]
+            return jnp.mean((out[0] - images[0]) ** 2)
+        l, g = jax.value_and_grad(loss_f)(p)
+        up, o = opt.update(g, o, p)
+        p = optax.apply_updates(p, up)
+    for k in p:
+        np.testing.assert_allclose(
+            np.asarray(p2[k])[0], np.asarray(p[k]), rtol=2e-4, atol=2e-5,
+            err_msg=k)
+    np.testing.assert_allclose(np.asarray(loss)[0], float(l), rtol=1e-4)
+
+
+def test_shard_opt_matches_replicated_opt():
+    # tile-axis optimizer-state sharding (reduce_scatter + slice update +
+    # all_gather) must produce the same fit as the replicated-opt path
+    model, images = _setup(D=1, H=32, W=48, N=256)
+    mesh = make_mesh({"data": 1, "gauss": 2, "tile": 2})
+
+    outs = []
+    for shard_opt in (False, True):
+        params, opt_state, gt = init_sharded_fit(
+            model, mesh, images, seed=7, shard_opt=shard_opt)
+        step = make_sharded_train_step(
+            model, mesh, n_steps=4, shard_opt=shard_opt)(
+            params, opt_state, gt)
+        p, o, loss, psnr, _ = step(params, opt_state, gt, jnp.asarray(1))
+        outs.append((jax.tree.map(np.asarray, p), float(np.asarray(loss)[0])))
+    (p_rep, l_rep), (p_sh, l_sh) = outs
+    assert abs(l_rep - l_sh) < 1e-5 * max(abs(l_rep), 1e-8) + 1e-7
+    for k in p_rep:
+        np.testing.assert_allclose(p_sh[k], p_rep[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
+
+
 def test_sharded_fit_improves_psnr():
     model, images = _setup(D=1, H=32, W=32, N=128)
     mesh = make_mesh({"data": 1, "gauss": 4, "tile": 2})
