@@ -61,6 +61,9 @@ class ModelConfig:
     lr_gamma: float = 0.5
     quantize: bool = False
     no_clamp: bool = False
+    init_mode: str = "uniform"  # "uniform" (reference) | "adaptive"
+    #   (gradient-density position sampling + GT color init, core/init.py;
+    #   requires init_state(key, gt_image=...))
     sh_degree: int = 3  # 3DGS only
     mask: Optional[MaskConfig] = None  # wMask variant only
     raster: RasterizeConfig = RasterizeConfig()
@@ -88,7 +91,8 @@ class GaussianModelBase:
         self.cfg = config
 
     # -- subclass API ------------------------------------------------------
-    def init_params(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
+    def init_params(self, key: jax.Array, gt_image=None
+                    ) -> Dict[str, jnp.ndarray]:
         raise NotImplementedError
 
     def init_extra(self, params) -> Dict[str, jnp.ndarray]:
@@ -140,8 +144,8 @@ class GaussianModelBase:
         return step_lr(self.cfg.lr, self.cfg.lr_step_size, self.cfg.lr_gamma)
 
     # -- training ----------------------------------------------------------
-    def init_state(self, key: jax.Array) -> TrainState:
-        params = self.init_params(key)
+    def init_state(self, key: jax.Array, gt_image=None) -> TrainState:
+        params = self.init_params(key, gt_image=gt_image)
         opt = self._optimizer()
         return TrainState(params, opt.init(params), self.init_extra(params))
 

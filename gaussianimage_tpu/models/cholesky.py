@@ -32,23 +32,35 @@ CHOLESKY_BOUND = np.asarray([0.5, 0.0, 0.5], np.float32)
 class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
     name = "GaussianImage_Cholesky"
 
-    def init_params(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
+    def init_params(self, key: jax.Array, gt_image=None
+                    ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         k1, k2, k3 = jax.random.split(key, 3)
         N = cfg.num_points
+        adaptive = cfg.init_mode == "adaptive" and gt_image is not None
+        colors = None
         if N == cfg.H * cfg.W:
             ys = jnp.linspace(-1.0, 1.0, cfg.H)
             xs = jnp.linspace(-1.0, 1.0, cfg.W)
             grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
             xyz = jnp.arctanh(grid.reshape(-1, 2) * (1 - 1e-4))
+        elif adaptive:
+            # positions ~ GT gradient density, colors from the GT pixels
+            # (core/init.py); the reference always inits uniformly
+            from gaussianimage_tpu.core.init import (adaptive_init_xyz,
+                                                     init_colors_from_gt)
+            xyz = adaptive_init_xyz(k1, gt_image, N, cfg.H, cfg.W)
+            colors = init_colors_from_gt(gt_image, xyz, cfg.H, cfg.W)
         else:
             u = jax.random.uniform(k1, (N, 2), minval=-(1 - 1e-6),
                                    maxval=1 - 1e-6)
             xyz = jnp.arctanh(u)
+        if colors is None:
+            colors = jax.random.uniform(k3, (N, 3)).astype(jnp.float32)
         params = {
             "_xyz": xyz.astype(jnp.float32),
             "_cholesky": jax.random.uniform(k2, (N, 3)).astype(jnp.float32),
-            "_features_dc": jax.random.uniform(k3, (N, 3)).astype(jnp.float32),
+            "_features_dc": colors,
         }
         if cfg.quantize:
             params.update(self.quantize_param_init())

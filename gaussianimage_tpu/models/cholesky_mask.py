@@ -55,8 +55,8 @@ class GaussianImageCholeskyMask(GaussianImageCholesky):
     def _lr_groups(self):
         return {"_mask_logits": self.mask_cfg.mask_lr}
 
-    def init_params(self, key):
-        params = super().init_params(key)
+    def init_params(self, key, gt_image=None):
+        params = super().init_params(key, gt_image=gt_image)
         params["_mask_logits"] = jnp.full(
             (self.cfg.num_points, 1), self.mask_cfg.init_mask_logit,
             jnp.float32)

@@ -66,7 +66,10 @@ class Gaussian3D(GaussianModelBase):
         self.translation = np.asarray([[0.0, 0.0, -8.0]], np.float32)
         self.blend_cfg = BlendConfig(tile_px=32, max_tiles_per_gauss=36)
 
-    def init_params(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
+    def init_params(self, key: jax.Array, gt_image=None
+                    ) -> Dict[str, jnp.ndarray]:
+        # gt_image unused: 3DGS inits positions uniformly in NDC with kNN
+        # scales (reference gaussiansplatting_3d.py), not content-adaptively
         cfg = self.cfg
         N = cfg.num_points
         k1, k2, k3 = jax.random.split(key, 3)

@@ -27,16 +27,26 @@ SCALING_BOUND = np.asarray([0.5, 0.5], np.float32)  # numpy, not jnp (axon captu
 class GaussianImageRS(QuantizeMixin, GaussianModelBase):
     name = "GaussianImage_RS"
 
-    def init_params(self, key: jax.Array) -> Dict[str, jnp.ndarray]:
+    def init_params(self, key: jax.Array, gt_image=None
+                    ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         k1, k2, k3, k4 = jax.random.split(key, 4)
         N = cfg.num_points
-        u = jax.random.uniform(k1, (N, 2), minval=-(1 - 1e-6), maxval=1 - 1e-6)
+        if cfg.init_mode == "adaptive" and gt_image is not None:
+            from gaussianimage_tpu.core.init import (adaptive_init_xyz,
+                                                     init_colors_from_gt)
+            xyz = adaptive_init_xyz(k1, gt_image, N, cfg.H, cfg.W)
+            colors = init_colors_from_gt(gt_image, xyz, cfg.H, cfg.W)
+        else:
+            u = jax.random.uniform(k1, (N, 2), minval=-(1 - 1e-6),
+                                   maxval=1 - 1e-6)
+            xyz = jnp.arctanh(u).astype(jnp.float32)
+            colors = jax.random.uniform(k4, (N, 3)).astype(jnp.float32)
         params = {
-            "_xyz": jnp.arctanh(u).astype(jnp.float32),
+            "_xyz": xyz,
             "_scaling": jax.random.uniform(k2, (N, 2)).astype(jnp.float32),
             "_rotation": jax.random.uniform(k3, (N, 1)).astype(jnp.float32),
-            "_features_dc": jax.random.uniform(k4, (N, 3)).astype(jnp.float32),
+            "_features_dc": colors,
         }
         if cfg.quantize:
             params.update(self.quantize_param_init())

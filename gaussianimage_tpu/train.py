@@ -107,6 +107,7 @@ class SimpleTrainer2d:
             sh_degree=getattr(args, "sh_degree", 3),
             quantize=False,
             mask=mask_cfg,
+            init_mode=getattr(args, "init_mode", "adaptive"),
         )
 
         self.log_dir = Path(log_dir) if log_dir is not None else Path(
@@ -115,7 +116,7 @@ class SimpleTrainer2d:
 
         seed = int(getattr(args, "seed", 1) or 1)
         self.key = jax.random.PRNGKey(seed)
-        self.state = self.model.init_state(self.key)
+        self.state = self.model.init_state(self.key, gt_image=self.gt_image)
 
         if model_path is not None:
             self.logwriter.write(f"loading model path:{model_path}")
@@ -389,6 +390,11 @@ def parse_args(argv):
     p.add_argument("--save_imgs", action="store_true")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--opt_type", type=str, default="adan")
+    p.add_argument("--init_mode", type=str, default="adaptive",
+                   choices=["uniform", "adaptive"],
+                   help="Gaussian init: 'uniform' random (reference "
+                        "behavior) or 'adaptive' GT-gradient-density "
+                        "positions + GT colors (core/init.py)")
     p.add_argument("--chunk_size", type=int, default=250,
                    help="train iterations per on-device scan chunk")
     p.add_argument("--checkpoint_root", type=str, default="./checkpoints")
