@@ -30,6 +30,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -53,6 +54,11 @@ class BlendConfig(NamedTuple):
     #   ops/rasterize_sum.py — the flat layout pads lanes 8x in VMEM)
     alpha_clip: float = 0.999
     alpha_min: float = 1.0 / 255.0
+    early_stop_T: float = 1e-4  # stop compositing a tile once EVERY pixel's
+    #   transmittance falls below this (the CUDA rasterizer's per-pixel
+    #   T < eps early-out, done per tile-chunk here so the loop stays
+    #   uniform); the forward records how many chunks it consumed and the
+    #   backward walks exactly those. 0 disables.
     interpret: Optional[bool] = None
     # XLA-oracle knobs (rasterize_gaussians_blend_xla only)
     max_per_tile: int = 256
@@ -98,7 +104,7 @@ def _alpha_terms(gT, tx0, ty0, X, Y, count, ci, bk, alpha_clip, alpha_min):
 
 def _blend_fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
                       *, tile_px, tb, bk, tiles_x, alpha_clip, alpha_min,
-                      aligned):
+                      aligned, log_stop):
     P = tile_px * tile_px
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     X = (pidx % tile_px).astype(jnp.float32)
@@ -115,8 +121,15 @@ def _blend_fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
         tx0 = ((t % tiles_x) * tile_px).astype(jnp.float32)
         ty0 = ((t // tiles_x) * tile_px).astype(jnp.float32)
 
-        def chunk_body(ci, carry):
-            logT, acc = carry  # [1, P], [8, P]
+        def chunk_cond(carry):
+            # the CUDA early-out: stop once every pixel's transmittance is
+            # below the threshold (later gaussians can only contribute
+            # < early_stop_T of their color)
+            ci, logT, _ = carry
+            return jnp.logical_and(ci < nch, jnp.max(logT) > log_stop)
+
+        def chunk_body(carry):
+            ci, logT, acc = carry  # [1, P], [8, P]
             gT = _read_chunk(gfeat_ref, blk0, ci, start + ci * bk, bk,
                              aligned)
             alpha, _, _, _, _, _, _ = _alpha_terms(
@@ -137,15 +150,18 @@ def _blend_fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
             logT = logT + jnp.sum(l1m, axis=0, keepdims=True)
-            return (logT, acc)
+            return (ci + 1, logT, acc)
 
-        logT, acc = jax.lax.fori_loop(
-            0, nch, chunk_body,
-            (jnp.zeros((1, P), jnp.float32), jnp.zeros((_C, P), jnp.float32)))
-        # rows: 0-2 premultiplied rgb, 3 T_fin, 4 logT_fin (stable bwd)
+        nch_used, logT, acc = jax.lax.while_loop(
+            chunk_cond, chunk_body,
+            (jnp.int32(0), jnp.zeros((1, P), jnp.float32),
+             jnp.zeros((_C, P), jnp.float32)))
+        # rows: 0-2 premultiplied rgb, 3 T_fin, 4 logT_fin (stable bwd),
+        # 5 chunks consumed (the backward walks exactly these)
         out_ref[i] = jnp.concatenate(
             [acc[0:3], jnp.exp(logT), logT,
-             jnp.zeros((_C - 5, logT.shape[1]), jnp.float32)], axis=0)
+             jnp.full((1, P), nch_used.astype(jnp.float32)),
+             jnp.zeros((_C - 6, logT.shape[1]), jnp.float32)], axis=0)
         return 0
 
     jax.lax.fori_loop(0, tb, tile_body, 0)
@@ -153,7 +169,7 @@ def _blend_fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
 
 def _blend_bwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref, g_ref,
                       dgfeat_ref, *, tile_px, tb, bk, tiles_x, alpha_clip,
-                      alpha_min, aligned):
+                      alpha_min, aligned, log_stop):
     P = tile_px * tile_px
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     X = (pidx % tile_px).astype(jnp.float32)
@@ -170,12 +186,14 @@ def _blend_bwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref, g_ref,
         start = starts_ref[t]
         blk0 = start // bk
         count = counts_ref[t]
-        nch = (count + bk - 1) // bk
         tx0 = ((t % tiles_x) * tile_px).astype(jnp.float32)
         ty0 = ((t // tiles_x) * tile_px).astype(jnp.float32)
         G = g_ref[i]          # [C, P]: 0-2 d_img, 3 = cot(T_fin)
         logTfin = out_ref[i][4:5]  # [1, P]
         Tfin_cot = G[3:4]     # [1, P]
+        # walk exactly the chunks the forward consumed (early stop):
+        # logT_fin is THEIR product, and later chunks contributed nothing
+        nch = out_ref[i][5, 0].astype(jnp.int32)
 
         def chunk_body(rci, carry):
             ci = nch - 1 - rci
@@ -251,11 +269,12 @@ def _blend_bwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref, g_ref,
 
 def _blend_fwd_pallas(static, starts, counts, gfeat):
     (tile_px, TB, BK, tiles_x, T, interpret, H, W, I, a_clip, a_min,
-     aligned) = static
+     aligned, log_stop) = static
     P = tile_px * tile_px
     kern = functools.partial(_blend_fwd_kernel, tile_px=tile_px, tb=TB,
                              bk=BK, tiles_x=tiles_x, alpha_clip=a_clip,
-                             alpha_min=a_min, aligned=aligned)
+                             alpha_min=a_min, aligned=aligned,
+                             log_stop=log_stop)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T // TB,),
@@ -278,11 +297,12 @@ def _blend_fwd_pallas(static, starts, counts, gfeat):
 
 def _blend_bwd_pallas(static, starts, counts, gfeat, out_tiled, g):
     (tile_px, TB, BK, tiles_x, T, interpret, H, W, I, a_clip, a_min,
-     aligned) = static
+     aligned, log_stop) = static
     P = tile_px * tile_px
     kern = functools.partial(_blend_bwd_kernel, tile_px=tile_px, tb=TB,
                              bk=BK, tiles_x=tiles_x, alpha_clip=a_clip,
-                             alpha_min=a_min, aligned=aligned)
+                             alpha_min=a_min, aligned=aligned,
+                             log_stop=log_stop)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T // TB,),
@@ -322,7 +342,7 @@ def _blend(static, gids, starts, counts, feat):
 
 def _gather(static, gids, feat):
     BK, aligned = static[2], static[11]
-    interpret = static[7]
+    interpret = static[5]
     if aligned:
         return sc.gather_stream_blocks(gids, feat, BK, interpret=interpret)
     return sc.gather_stream(gids, feat, BK)
@@ -352,7 +372,7 @@ def _blend_bwd(static, res, g):
     dgrads = _blend_bwd_pallas(static, starts, counts, gfeat, out_tiled, G)
     if aligned:
         dfeat = sc.scatter_block_grads(dgrads, gids, feat,
-                                       interpret=static[7])
+                                       interpret=static[5])
     else:
         dfeat = sc.scatter_stream_grads(dgrads, gids, feat)
     return (sc.float0_like(gids), sc.float0_like(starts),
@@ -411,9 +431,14 @@ def rasterize_gaussians_blend(
     gids, starts, counts = sp.gids, sp.starts, sp.counts
 
     feat = sc.pack_feat(xys, conics, colors, opacities)
+    # log-space early-stop threshold; 0 disables (log 0 = -inf: the while
+    # condition on max(logT) then never trips before the chunk count does)
+    log_stop = (float(np.log(cfg.early_stop_T)) if cfg.early_stop_T > 0
+                else float("-inf"))
     static = (cfg.tile_px, cfg.tiles_per_step, cfg.block_inst, sp.tiles_x,
               sp.T, sc.use_interpret(cfg), H, W, sp.I,
-              float(cfg.alpha_clip), float(cfg.alpha_min), sp.aligned)
+              float(cfg.alpha_clip), float(cfg.alpha_min), sp.aligned,
+              log_stop)
     rgb, tfin = _blend(static, gids, starts, counts, feat)
     img = rgb + tfin[..., None] * background[None, None]
     alpha = 1.0 - tfin

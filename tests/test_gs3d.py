@@ -210,3 +210,46 @@ def test_blend_aligned_stream_matches_flat():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_blend_early_stop_matches_and_truncates():
+    # a deep stack of near-opaque gaussians saturates T quickly: with the
+    # default early_stop_T the render+grads must match the no-early-stop
+    # kernel (contributions behind saturation are < eps), while an absurdly
+    # aggressive threshold must visibly change the image (i.e. the while
+    # loop really does exit early)
+    rng = np.random.default_rng(33)
+    N, H, W = 512, 32, 32
+    xys = jnp.asarray(rng.uniform(4, 28, (N, 2)).astype(np.float32))
+    # wide gaussians (sigma ~5-10 px) so every pixel of every tile gets
+    # covered — the stop condition is per-tile (max over pixels)
+    s2 = rng.uniform(0.01, 0.04, N).astype(np.float32)
+    conics = jnp.asarray(np.stack([s2, np.zeros(N, np.float32), s2], -1))
+    colors = jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.7, 0.95, (N,)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(1, 10, N).astype(np.float32))
+    radii = jnp.full((N,), 10.0)
+
+    def render_loss(cfg, args):
+        xys, colors, opac = args
+        img, alpha, _ = rasterize_gaussians_blend(
+            xys, depths, radii, conics, colors, opac, H, W, config=cfg)
+        return jnp.sum(img ** 2) + 0.3 * jnp.sum(alpha ** 2), img
+
+    args = (xys, colors, opac)
+    (l_on, img_on), g_on = jax.value_and_grad(
+        lambda a: render_loss(BlendConfig(early_stop_T=1e-4), a),
+        has_aux=True)(args)
+    (l_off, img_off), g_off = jax.value_and_grad(
+        lambda a: render_loss(BlendConfig(early_stop_T=0.0), a),
+        has_aux=True)(args)
+    np.testing.assert_allclose(np.asarray(img_on), np.asarray(img_off),
+                               atol=2e-3)
+    for a, b, name in zip(g_on, g_off, ("xys", "colors", "opac")):
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=2e-3,
+                                   err_msg=name)
+
+    _, img_hard = render_loss(BlendConfig(early_stop_T=0.9), args)
+    assert float(jnp.abs(img_hard - img_off).max()) > 0.01
