@@ -183,7 +183,11 @@ class QuantizeMixin:
             enc["feature_dc_index"])
         return enc
 
-    def decompress(self, params, extra, enc: Dict) -> Dict:
+    def entropy_decode(self, enc: Dict) -> Dict:
+        """Host-side rANS decode of the bitstreams back to code arrays —
+        the CPU half of the full entropy-coded decode path (the device half
+        is decompress_wo_ec). Split out so callers can jit the device half
+        and time the two honestly."""
         N = enc["xyz"].shape[0]
         dec = {"xyz": enc["xyz"]}
         for name, ch in self._uq_channels().items():
@@ -194,7 +198,10 @@ class QuantizeMixin:
         words, counts, uniq = enc["feature_dc_bitstream"]
         dec["feature_dc_index"] = decompress_categorical(
             words, counts, uniq, N * nq, (N, nq))
-        return self.decompress_wo_ec(params, extra, dec)
+        return dec
+
+    def decompress(self, params, extra, enc: Dict) -> Dict:
+        return self.decompress_wo_ec(params, extra, self.entropy_decode(enc))
 
     # ---- bit accounting ------------------------------------------------------
     def _codebook_bits(self, extra) -> int:
