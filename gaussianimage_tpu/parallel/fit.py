@@ -217,7 +217,12 @@ def init_sharded_fit(model, mesh: Mesh, images, seed: int = 1,
     D = images.shape[0]
     assert D == mesh.shape["data"], (D, dict(mesh.shape))
     keys = jax.random.split(jax.random.PRNGKey(seed), D)
-    params = jax.vmap(model.init_params)(keys)  # leaves [D, N, k]
+    if model.cfg.init_mode == "adaptive":
+        params = jax.vmap(
+            lambda k, im: model.init_params(k, gt_image=im))(
+            keys, jnp.asarray(images, jnp.float32))  # leaves [D, N, k]
+    else:
+        params = jax.vmap(model.init_params)(keys)  # leaves [D, N, k]
     opt = model._optimizer()
     opt_state = opt.init(params)  # moment leaves mirror [D, N, k]
     obatched = _opt_batched_mask(model, opt, opt_state)

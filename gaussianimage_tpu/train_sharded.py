@@ -67,6 +67,10 @@ def parse_args(argv):
                         "device count)")
     p.add_argument("--tile_px", type=int, default=16,
                    help="raster tile (16 keeps small row-shards whole)")
+    p.add_argument("--init_mode", type=str, default="adaptive",
+                   choices=["uniform", "adaptive"],
+                   help="per-image Gaussian init (core/init.py); 'uniform' "
+                        "is the reference behavior")
     return p.parse_args(argv)
 
 
@@ -118,7 +122,8 @@ def main(argv=None):
         model = make_model(
             args.model_name, num_points=args.num_points, H=H, W=W,
             lr=args.lr, raster=RasterizeConfig(tile_px=args.tile_px),
-            block_h=args.tile_px, block_w=args.tile_px)
+            block_h=args.tile_px, block_w=args.tile_px,
+            init_mode=args.init_mode)
         params, opt_state, gt = init_sharded_fit(model, mesh, images,
                                                  seed=args.seed)
         it = 0
