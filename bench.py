@@ -124,20 +124,39 @@ def main():
     _ = np.asarray(metrics["loss"][-1])
     fit_iters_per_s = 500 / (time.time() - t0)
 
-    # decode throughput: quantize the fitted scene on the fly and time the
-    # codec decode path (dequantize + project + rasterize), the reference's
-    # "~2000 FPS" headline (README.md:30)
+    # decode throughput on the COMMITTED two-stage artifact for the pinned
+    # scene (results_quant/.../china/gaussian_model.best.npz — the actual
+    # 50k-fit -> 50k-QAT checkpoint the codec tables report), the
+    # reference's "~2000 FPS" headline (README.md:30). Fallback when the
+    # artifact is absent: 200-step mini-QAT of the freshly fitted scene.
+    from pathlib import Path
     qmodel = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
                         quantize=True)
     qstate = qmodel.init_state(jax.random.PRNGKey(2))
-    qparams = dict(qstate.params)
-    for k, v in state.params.items():
-        qparams[k] = v
-    qstate = qstate._replace(params=qparams)
-    qstate = qmodel.init_quantizer_data(qstate)
-    qchunk = jax.jit(lambda st, g, s: qmodel.train_chunk(st, g, None, s, 200),
-                     donate_argnums=(0,))
-    qstate, _ = qchunk(qstate, gt, jnp.asarray(1))
+    ckpt_path = Path("results_quant/photos/GaussianImage_Cholesky_50000_10000"
+                     "/china/gaussian_model.best.npz")
+    decode_scene = "committed results_quant artifact (china@10k)"
+    if ckpt_path.exists():
+        from gaussianimage_tpu.utils.checkpoint import (load_checkpoint,
+                                                        merge_matching)
+        ckpt = load_checkpoint(ckpt_path)
+        qparams = merge_matching(qstate.params, ckpt["params"])
+        extra = dict(qstate.extra)
+        extra["vq"] = extra["vq"]._replace(**{
+            k.split("/", 1)[1]: jnp.asarray(v)
+            for k, v in ckpt["extra"].items() if k.startswith("vq/")})
+        qstate = qstate._replace(params=qparams, extra=extra)
+    else:
+        decode_scene = "mini-QAT of the freshly fitted scene"
+        qparams = dict(qstate.params)
+        for k, v in state.params.items():
+            qparams[k] = v
+        qstate = qstate._replace(params=qparams)
+        qstate = qmodel.init_quantizer_data(qstate)
+        qchunk = jax.jit(
+            lambda st, g, s: qmodel.train_chunk(st, g, None, s, 200),
+            donate_argnums=(0,))
+        qstate, _ = qchunk(qstate, gt, jnp.asarray(1))
     enc = jax.device_put(qmodel.compress_wo_ec(qstate.params, qstate.extra))
     qe = qstate.extra
 
@@ -210,6 +229,7 @@ def main():
                   "decode_fps": round(1e3 / decode_ms, 1),
                   "decode_fps_batched": round(1e3 / decode_batched_ms, 1),
                   "blend_3dgs_fps": round(1e3 / blend_ms, 1),
+                  "decode_scene": decode_scene,
                   "scene": "china_768x512 (real photo)",
                   "backend": jax.default_backend()},
     }))
