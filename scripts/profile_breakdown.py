@@ -118,6 +118,25 @@ def main():
         return jax.lax.scan(body, jnp.float32(0.0),
                             jnp.arange(1, BURST + 1, dtype=jnp.int32))[0]
 
+    # batched decode (B frames through one binning+kernel pass) — round-2
+    # measured batch-4 decode SLOWER than single-frame; this trace shows
+    # where the per-frame busy time grows (sort? epilogue transposes?)
+    from gaussianimage_tpu.batched import decompress_wo_ec_batch
+    Bb = 6
+
+    def stackb(x):
+        return jnp.broadcast_to(x, (Bb,) + x.shape)
+
+    qp_b = {k: stackb(v) for k, v in qstate.params.items()}
+    qp_b["cholesky_quant_scale"] = (
+        qp_b["cholesky_quant_scale"]
+        + (jnp.arange(1, Bb + 1, dtype=jnp.float32) * 1e-30)[:, None])
+    qe_b = jax.tree.map(stackb, qstate.extra)
+    enc_b = {k: stackb(jnp.asarray(v)) for k, v in enc.items()}
+
+    def decode_batched(pb, xb, eb):
+        return decompress_wo_ec_batch(qmodel, pb, xb, eb)["render"]
+
     gmodel = make_model("3DGS", num_points=N, H=H, W=W, loss_type="Fusion2")
     gstate = gmodel.init_state(jax.random.PRNGKey(3))
     gchunk = jax.jit(lambda st, g, s: gmodel.train_chunk(st, g, None, s, 50),
@@ -141,6 +160,8 @@ def main():
     chunk_nd = jax.jit(lambda st, g, s: model.train_chunk(st, g, None, s, 100))
     trace_burst(chunk_nd, (state, gt, jnp.asarray(601)), "train_chunk_100",
                 results)
+    trace_burst(jax.jit(decode_batched), (qp_b, qe_b, enc_b),
+                f"decode_batched_{Bb}f", results)
     trace_burst(jax.jit(blend_burst), (gstate.params,), "blend_3dgs_8f",
                 results)
 
