@@ -39,9 +39,26 @@ def maybe_initialize_distributed() -> bool:
     launch-environment check is pure env-var sniffing, and the
     already-initialized check reads the distributed client directly.
     """
-    want = any(os.environ.get(k) for k in (
-        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-        "SLURM_JOB_NUM_NODES", "TPU_WORKER_HOSTNAMES"))
+    # explicit coordinator address always counts; worker-count env vars
+    # count only when they advertise MORE THAN ONE worker (single-host TPU
+    # runtimes export TPU_WORKER_HOSTNAMES=localhost / SLURM exports
+    # SLURM_JOB_NUM_NODES=1 — initialize() there would try to stand up a
+    # coordinator nothing else joins)
+    def _multi(v, sep=","):
+        if not v:
+            return False
+        parts = [p for p in v.split(sep) if p]
+        if len(parts) > 1:
+            return True
+        try:
+            return int(parts[0]) > 1
+        except ValueError:
+            return False
+
+    want = (any(os.environ.get(k) for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"))
+        or _multi(os.environ.get("SLURM_JOB_NUM_NODES"))
+        or _multi(os.environ.get("TPU_WORKER_HOSTNAMES")))
     if not want:
         return False
     is_init = getattr(jax.distributed, "is_initialized", None)

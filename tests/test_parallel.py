@@ -33,6 +33,22 @@ def test_mesh_axes_factoring():
     assert mesh_axes_for(4) == {"data": 1, "gauss": 2, "tile": 2}
 
 
+def test_distributed_init_ignores_single_worker_envs(monkeypatch):
+    """Single-host runtimes export TPU_WORKER_HOSTNAMES=localhost /
+    SLURM_JOB_NUM_NODES=1; initialize() there would stand up a coordinator
+    nothing joins. Only >1 workers (or an explicit coordinator address)
+    should trigger it."""
+    from gaussianimage_tpu.parallel.mesh import maybe_initialize_distributed
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "SLURM_JOB_NUM_NODES", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(k, raising=False)
+    assert maybe_initialize_distributed() is False
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert maybe_initialize_distributed() is False
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "1")
+    assert maybe_initialize_distributed() is False
+
+
 def test_sharded_step_matches_single_device():
     # mesh (data=2, gauss=2, tile=2) vs an unsharded reference step
     model, images = _setup(D=2)
