@@ -93,6 +93,30 @@ class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
             config=cfg.raster)
         return img, alpha, aux
 
+    def decompress_wo_ec(self, params, extra, enc):
+        """Decode path. With RasterizeConfig.fused_decode_prep (and the
+        flat-stream packed-key regime), the dequantize + projection +
+        packing + binning-key glue runs as ONE Pallas pass
+        (ops/splat_prep.py) — ~10 fewer op launches per frame on the
+        decode hot loop; otherwise the generic QuantizeMixin path runs."""
+        from gaussianimage_tpu.ops.splat_prep import (fused_decode_cholesky,
+                                                      fused_decode_supported)
+        cfg = self.cfg
+        N = params["_xyz"].shape[0]
+        if not fused_decode_supported(N, cfg.H, cfg.W, cfg.raster):
+            return super().decompress_wo_ec(params, extra, enc)
+        embed = extra["vq"].embed  # [nq, K, 3]
+        combined = (embed[0][:, None, :] + embed[1][None, :, :]
+                    ).reshape(-1, embed.shape[-1])
+        img, _, _ = fused_decode_cholesky(
+            jnp.asarray(enc["xyz"], jnp.float32),
+            jnp.asarray(enc["quant_cholesky"]),
+            params["cholesky_quant_scale"], params["cholesky_quant_beta"],
+            CHOLESKY_BOUND, jnp.asarray(enc["feature_dc_index"]),
+            combined, cfg.H, cfg.W, cfg.raster)
+        img = jnp.clip(img, 0.0, 1.0)
+        return {"render": img[None]}
+
     # activations ----------------------------------------------------------
     @staticmethod
     def get_xyz(params):

@@ -79,6 +79,10 @@ class RasterizeConfig(NamedTuple):
     #   transposed blocks whose VMEM footprint is exact (the flat layout
     #   pads 16 -> 128 lanes, 8x, and stops fitting around ~50k gaussians)
     interpret: Optional[bool] = None  # None => interpret iff not on TPU
+    fused_decode_prep: bool = False  # decode path: ONE Pallas pass for
+    #   dequantize + projection + feature packing + binning keys
+    #   (ops/splat_prep.py) instead of ~10 small XLA fusions; inference
+    #   only, flat-stream packed-key regime only (falls back otherwise)
 
 
 # ---------------------------------------------------------------------------
@@ -500,6 +504,68 @@ def rasterize_gaussians_sum_chw(
                               n_chan=_C)
     aux = {"n_dropped": sp.n_dropped,
            "max_per_tile_used": sp.counts.max()}
+    return full[:3], full[3], aux
+
+
+def rasterize_from_keys_chw(
+    feat: jnp.ndarray,
+    keys: jnp.ndarray,
+    trunc: jnp.ndarray,
+    n_total: jnp.ndarray,
+    H: int,
+    W: int,
+    config: RasterizeConfig,
+    max_instances: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Inference rasterize from PRE-PACKED inputs: ``feat`` [N+1, 16]
+    premultiplied rows and ``keys`` the flat packed int32 sort keys
+    ``(tile << id_bits) | gaussian_id`` with INT32_MAX dead slots (the
+    ops/splat_prep.py fused prep emits both in one Pallas pass). Performs
+    the remaining binning (one non-stable sort + compare-reduce bounds),
+    stream gather, and forward kernel. Flat-stream layout only.
+
+    ``trunc``/``n_total`` are the prep's per-gaussian accounting sums;
+    n_dropped = trunc + max(n_total - I, 0) matches prepare_stream's.
+    """
+    cfg = config
+    N = feat.shape[0] - 1
+    tp = cfg.tile_px
+    TB = cfg.tiles_per_step
+    tiles_x = -(-W // tp)
+    tiles_y = -(-H // tp)
+    T_real = tiles_x * tiles_y
+    T = T_real + ((-T_real) % TB)
+    I = max_instances
+    id_bits = max(int(N - 1).bit_length(), 1)
+    assert (T_real + 1) * (1 << id_bits) < 2 ** 31, (
+        "rasterize_from_keys_chw requires the packed-key regime")
+
+    # ops/tiles.py _sorted_stream packed branch, from precomputed keys
+    keys = jax.lax.optimization_barrier(keys)
+    skey = jnp.sort(keys, stable=False)[:I]
+    srank = (skey & ((1 << id_bits) - 1)).astype(jnp.int32)
+    dead = skey == jnp.int32(2 ** 31 - 1)
+    gids = jnp.where(dead, N, srank)
+    queries = jnp.arange(T_real + 1, dtype=jnp.int32) << id_bits
+    if (T_real + 1) * I <= 32_000_000:
+        bounds = jnp.sum(skey[None, :] < queries[:, None],
+                         axis=1).astype(jnp.int32)
+    else:
+        bounds = jnp.minimum(
+            jnp.searchsorted(skey, queries, method="scan_unrolled"),
+            I).astype(jnp.int32)
+    starts = (jnp.concatenate(
+        [bounds, jnp.full((T - T_real,), bounds[-1], jnp.int32)])
+        if T > T_real else bounds)
+    counts = starts[1:] - starts[:-1]
+
+    static = (tp, TB, cfg.block_inst, float(cfg.q_cut), tiles_x, T,
+              sc.use_interpret(cfg), H, W, I, False)
+    gfeat = _gather(static, gids, feat)
+    out_tiled = _fwd_pallas(static, starts, counts, gfeat)
+    full = sc.untile_channels(out_tiled, tp, tiles_x, H, W, n_chan=_C)
+    n_dropped = (trunc + jnp.maximum(n_total - I, 0)).astype(jnp.int32)
+    aux = {"n_dropped": n_dropped, "max_per_tile_used": counts.max()}
     return full[:3], full[3], aux
 
 

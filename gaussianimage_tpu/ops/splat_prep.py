@@ -1,0 +1,223 @@
+"""Fused decode-side splat preparation — ONE Pallas pass from code arrays to
+(packed feature rows + binning sort keys).
+
+Motivation: on the axon runtime the per-op launch overhead (~3 us) dominates
+the decode path's glue — dequantize (uniform scale/beta, VQ codebook gather,
+f16 tanh means), projection (Cholesky -> covariance -> conic -> radii), the
+[N+1, 16] feature packing, and the [M, N] instance expansion each cost an op
+or a small fusion, ~30 ops/frame total (CLAUDE.md: ~0.1 ms/frame op floor).
+This kernel computes all of it in one launch, emitting exactly what the
+sort-based binning needs:
+
+- ``feat`` [N+1, 16]: the premultiplied feature rows ``pack_feat`` builds
+  (reference semantics: fixed opacity 1 on the Cholesky decode path,
+  gaussianimage_cholesky.py:33).
+- ``keys`` [N_pad * M]: the packed int32 tile-sort keys ``(tile << id_bits)
+  | gaussian_id`` with dead slots at INT32_MAX — bit-compatible with
+  ops/tiles.py ``_sorted_stream``'s packed branch, so one ``jnp.sort`` +
+  compare-reduce bounds finish the binning.
+- per-gaussian (trunc, live) counts for the n_dropped accounting.
+
+The math replicates core/covariance.py + ops/rasterize_sum.py `_axis_radii`
++ ops/tiles.py `_expand_instances` op-for-op (same eps, clips and floors);
+parity is pinned by tests/test_splat_prep.py against the reference chain.
+
+Decode/inference only — no VJP (training keeps the autodiff projection +
+custom-vjp rasterizer). Opt in via RasterizeConfig.fused_decode_prep.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from gaussianimage_tpu.ops import stream_common as sc
+
+_BLK = 512       # gaussians per grid step
+_INT_MAX = np.int32(2 ** 31 - 1)
+
+
+def _prep_kernel(xyz_ref, codes_ref, idx_ref, scale_ref, beta_ref,
+                 embed_ref, feat_ref, keys_ref, stats_ref, *,
+                 N, H, W, tile_px, tiles_x, tiles_y, M, id_bits, q_cut,
+                 bound, blk):
+    pid = pl.program_id(0)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+           + pid * blk)                      # [blk, 1] global gaussian id
+    valid = row < N                          # sentinel/pad rows
+
+    # ---- dequantize ------------------------------------------------------
+    # means: tanh(f16-rounded codes) -> NDC -> pixel (ndc_to_pixel); the
+    # f16 -> f32 cast happens at the call site (Mosaic fp16 support is
+    # shaky; the value semantics are identical)
+    means = jnp.tanh(xyz_ref[...])                            # [blk, 2]
+    x = 0.5 * ((means[:, 0:1] + 1.0) * W - 1.0)
+    y = 0.5 * ((means[:, 1:2] + 1.0) * H - 1.0)
+    # cholesky: codes * scale + beta, then the reference bound offset
+    # (bound enters as three static scalars — a captured [3] array would be
+    # a pallas constant)
+    chol = (codes_ref[...].astype(jnp.float32) * scale_ref[...]
+            + beta_ref[...])                                  # [blk, 3]
+    b0, b1, b2 = (float(bound[0]), float(bound[1]), float(bound[2]))
+    # colors: residual-VQ combined-codebook lookup (codec/vq.py decompress
+    # = sum of per-layer embeddings == one gather from the combined table)
+    comb = idx_ref[:, 0:1] * 8 + idx_ref[:, 1:2]              # [blk, 1]
+    oh = (comb == jax.lax.broadcasted_iota(jnp.int32, (blk, 64), 1))
+    colors = jax.lax.dot_general(
+        oh.astype(jnp.float32), embed_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # [blk, 3]
+
+    # ---- project (cov2d_from_cholesky -> conic_from_cov2d) ---------------
+    l11 = chol[:, 0:1] + b0
+    l21 = chol[:, 1:2] + b1
+    l22 = chol[:, 2:3] + b2
+    s11 = l11 * l11
+    s12 = l11 * l21
+    s22 = l21 * l21 + l22 * l22
+    det = s11 * s22 - s12 * s12
+    inv_det = 1.0 / jnp.maximum(det, 1e-6)
+    ca = s22 * inv_det
+    cb = -s12 * inv_det
+    cc = s11 * inv_det
+    # radius_from_cov2d: ceil(3 * sqrt(lambda_max))
+    mid = 0.5 * (s11 + s22)
+    disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
+    radii = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(mid + disc, 1e-12)))
+    # _axis_radii: exact per-axis extents of the q <= q_cut ellipse
+    cdet = jnp.maximum(ca * cc - cb * cb, 1e-12)
+    rx = jnp.sqrt(q_cut * jnp.maximum(cc, 0.0) / cdet)
+    ry = jnp.sqrt(q_cut * jnp.maximum(ca, 0.0) / cdet)
+    live = radii > 0
+    rx = jnp.where(live, jnp.minimum(rx, radii), 0.0)
+    ry = jnp.where(live, jnp.minimum(ry, radii), 0.0)
+
+    # ---- feature rows (pack_feat premultiply layout; opacity == 1) -------
+    feat = jnp.concatenate(
+        [x, y, ca, cb, cc, colors, jnp.ones((blk, 1), jnp.float32),
+         jnp.zeros((blk, sc.FW - 9), jnp.float32)], axis=1)
+    feat_ref[...] = jnp.where(valid, feat, 0.0)
+
+    # ---- binning keys (_expand_instances + packed key, slot-minor) -------
+    x0 = jnp.clip(jnp.floor((x - rx) / tile_px), 0, tiles_x - 1)
+    x1 = jnp.clip(jnp.floor((x + rx) / tile_px), 0, tiles_x - 1)
+    y0 = jnp.clip(jnp.floor((y - ry) / tile_px), 0, tiles_y - 1)
+    y1 = jnp.clip(jnp.floor((y + ry) / tile_px), 0, tiles_y - 1)
+    inside = ((rx > 0) & (ry > 0)
+              & (x + rx >= 0) & (x - rx < tiles_x * tile_px)
+              & (y + ry >= 0) & (y - ry < tiles_y * tile_px))
+    span_w = x1 - x0 + 1.0                                    # [blk, 1] f32
+    area = span_w * (y1 - y0 + 1.0)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (blk, M), 1)
+    jy = jnp.floor(jj / span_w)          # exact for small ints (see tests)
+    jx = jj - jy * span_w
+    tile = (y0 + jy) * tiles_x + (x0 + jx)                    # [blk, M] f32
+    live_j = (inside & valid & (jj < jnp.minimum(area, float(M))))
+    key = jnp.left_shift(tile.astype(jnp.int32), id_bits) | row
+    keys_ref[...] = jnp.where(live_j, key, _INT_MAX)
+
+    # ---- accounting ------------------------------------------------------
+    trunc = jnp.where(inside & valid,
+                      jnp.maximum(area - float(M), 0.0), 0.0)
+    n_live = jnp.where(inside & valid, jnp.minimum(area, float(M)), 0.0)
+    stats_ref[...] = jnp.concatenate([trunc, n_live], axis=1)
+
+
+def fused_decode_prep_cholesky(
+    enc_xyz: jnp.ndarray,        # [N, 2] float16 codes
+    chol_codes: jnp.ndarray,     # [N, 3] int codes
+    quant_scale: jnp.ndarray,    # [3]
+    quant_beta: jnp.ndarray,     # [3]
+    bound: np.ndarray,           # [3] static cholesky bound offset
+    vq_idx: jnp.ndarray,         # [N, 2] int32 residual-VQ indices
+    embed_combined: jnp.ndarray,  # [64, 3] combined codebook
+    H: int, W: int, cfg, m_span: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (feat [N+1,16], keys [N_pad*M] int32, trunc [], n_total [])."""
+    N = enc_xyz.shape[0]
+    tp = cfg.tile_px
+    tiles_x = -(-W // tp)
+    tiles_y = -(-H // tp)
+    M = m_span
+    id_bits = max(int(N - 1).bit_length(), 1)
+    assert (tiles_x * tiles_y + 1) * (1 << id_bits) < 2 ** 31, (
+        "fused prep requires the packed-key regime")
+    blk = _BLK
+    n_pad = -(-(N + 1) // blk) * blk
+    grid = n_pad // blk
+
+    kern = lambda *refs: _prep_kernel(  # noqa: E731
+        *refs, N=N, H=H, W=W, tile_px=tp, tiles_x=tiles_x, tiles_y=tiles_y,
+        M=M, id_bits=id_bits, q_cut=float(cfg.q_cut),
+        bound=np.asarray(bound, np.float32), blk=blk)
+
+    feat, keys, stats = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((blk, 2), lambda b: (b, 0)),
+            pl.BlockSpec((blk, 3), lambda b: (b, 0)),
+            pl.BlockSpec((blk, 2), lambda b: (b, 0)),
+            pl.BlockSpec((1, 3), lambda b: (0, 0)),
+            pl.BlockSpec((1, 3), lambda b: (0, 0)),
+            pl.BlockSpec((64, 3), lambda b: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, sc.FW), lambda b: (b, 0)),
+            pl.BlockSpec((blk, M), lambda b: (b, 0)),
+            pl.BlockSpec((blk, 2), lambda b: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, sc.FW), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, M), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+        ],
+        interpret=sc.use_interpret(cfg),
+    )(
+        enc_xyz.astype(jnp.float32),
+        chol_codes.astype(jnp.int32),
+        vq_idx.astype(jnp.int32),
+        quant_scale.reshape(1, 3).astype(jnp.float32),
+        quant_beta.reshape(1, 3).astype(jnp.float32),
+        embed_combined.astype(jnp.float32),
+    )
+    tot = stats.sum(axis=0)
+    return (feat[:N + 1], keys.reshape(-1),
+            tot[0].astype(jnp.int32), tot[1].astype(jnp.int32))
+
+
+def fused_decode_supported(N: int, H: int, W: int, cfg) -> bool:
+    """Static gate: flat-stream + packed-key regime (the fused prep's only
+    mode); callers fall back to the generic decode path otherwise."""
+    if not getattr(cfg, "fused_decode_prep", False):
+        return False
+    _, _, aligned = sc.stream_caps(N, cfg)
+    if aligned:
+        return False
+    tp = cfg.tile_px
+    tiles = (-(-W // tp)) * (-(-H // tp))
+    id_bits = max(int(N - 1).bit_length(), 1)
+    return (tiles + 1) * (1 << id_bits) < 2 ** 31
+
+
+def fused_decode_cholesky(enc_xyz, chol_codes, quant_scale, quant_beta,
+                          bound, vq_idx, embed_combined, H: int, W: int,
+                          cfg):
+    """Full fused decode: ONE prep kernel + sort-binned forward rasterize.
+    Returns (img [3,H,W], alpha [H,W], aux) — unclamped, like
+    rasterize_gaussians_sum_chw (the model clamps)."""
+    from gaussianimage_tpu.ops.rasterize_sum import rasterize_from_keys_chw
+
+    N = enc_xyz.shape[0]
+    I0, m_span, aligned = sc.stream_caps(N, cfg)
+    assert not aligned, "fused decode prep is flat-stream only"
+    feat, keys, trunc, n_total = fused_decode_prep_cholesky(
+        enc_xyz, chol_codes, quant_scale, quant_beta, bound, vq_idx,
+        embed_combined, H, W, cfg, m_span)
+    return rasterize_from_keys_chw(feat, keys, trunc, n_total, H, W, cfg,
+                                   I0)

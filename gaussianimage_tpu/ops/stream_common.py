@@ -40,6 +40,19 @@ def auto_max_instances(n: int, cfg) -> int:
     return -(-cap // cfg.block_inst) * cfg.block_inst
 
 
+def stream_caps(n: int, cfg):
+    """(I0, m_span, aligned): the instance-stream capacity, the per-gaussian
+    tile-span cap, and the flat-vs-aligned layout decision — the ONE
+    implementation shared by prepare_stream and the fused decode prep (the
+    two must agree or their key arrays describe different streams)."""
+    I0 = auto_max_instances(n, cfg)
+    if cfg.max_instances is not None:
+        m_span = cfg.max_tiles_per_gauss
+    else:
+        m_span = min(cfg.max_tiles_per_gauss, max(8, -(-3 * I0 // max(n, 1))))
+    return I0, m_span, I0 > cfg.flat_stream_limit
+
+
 def pack_feat(xys, conics, colors, opac, premultiply: bool = False,
               inplace: bool = False):
     """[N+1, 16] rows (xy, conic a b c, rgb, opacity, pad); the zero row at
@@ -248,21 +261,16 @@ def prepare_stream(xys, radii, H: int, W: int, cfg, order=None,
     tiles_y = -(-H // tp)
     T_real = tiles_x * tiles_y
     T = T_real + ((-T_real) % TB)
-    I0 = auto_max_instances(N, cfg)
-    # per-gaussian span cap: the binning sort costs O(N * M), so tie M to
-    # the stream budget (3x the average per-gaussian slot allowance, floor
-    # 8) instead of always paying the configured worst case — the stream
-    # cap I0 would truncate demand beyond that anyway, and overflow is
-    # counted (fitted scenes measure ~2.5 tiles/gaussian with the exact
-    # anisotropic bboxes, so this keeps ~5x per-gaussian headroom). The
-    # taper applies only to the AUTO instance budget: a user who sets
-    # max_instances explicitly sized the stream and gets the full
+    # per-gaussian span cap (stream_caps): the binning sort costs O(N * M),
+    # so M is tied to the stream budget (3x the average per-gaussian slot
+    # allowance, floor 8) instead of always paying the configured worst
+    # case — the stream cap I0 would truncate demand beyond that anyway,
+    # and overflow is counted (fitted scenes measure ~2.5 tiles/gaussian
+    # with the exact anisotropic bboxes, so this keeps ~5x per-gaussian
+    # headroom). The taper applies only to the AUTO instance budget: a user
+    # who sets max_instances explicitly sized the stream and gets the full
     # max_tiles_per_gauss span.
-    if cfg.max_instances is not None:
-        m_span = cfg.max_tiles_per_gauss
-    else:
-        m_span = min(cfg.max_tiles_per_gauss, max(8, -(-3 * I0 // max(N, 1))))
-    aligned = I0 > cfg.flat_stream_limit
+    I0, m_span, aligned = stream_caps(N, cfg)
     if aligned:
         I = I0 + T_real * BK  # headroom for per-live-tile block padding
         st = _tiles.bin_instances_aligned(

@@ -1,0 +1,91 @@
+"""Fused decode prep (ops/splat_prep.py): the one-pass dequantize +
+projection + packing + binning-key kernel must reproduce the generic
+decode path (QuantizeMixin.decompress_wo_ec) exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianimage_tpu.models import make_model
+from gaussianimage_tpu.ops import RasterizeConfig
+from gaussianimage_tpu.utils.image_io import synthetic_image
+
+
+def _quantized_state(H=64, W=96, N=512, **raster_kw):
+    model = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                       quantize=True,
+                       raster=RasterizeConfig(**raster_kw))
+    gt = jnp.asarray(synthetic_image(H, W, seed=3))
+    st = model.init_state(jax.random.PRNGKey(0))
+    st = model.init_quantizer_data(st)
+    # a few QAT steps so codes/codebooks are non-degenerate
+    st, _ = model.train_chunk(st, gt, jax.random.PRNGKey(1),
+                              jnp.asarray(1), 30)
+    return model, st
+
+
+def test_fused_decode_matches_generic():
+    m_ref, st = _quantized_state()
+    m_fused, _ = _quantized_state(fused_decode_prep=True)
+    enc = m_ref.compress_wo_ec(st.params, st.extra)
+    enc_dev = {k: jnp.asarray(v) for k, v in enc.items()}
+
+    ref = np.asarray(
+        m_ref.decompress_wo_ec(st.params, st.extra, enc_dev)["render"])
+    assert not m_ref.cfg.raster.fused_decode_prep
+    from gaussianimage_tpu.ops.splat_prep import fused_decode_supported
+    assert fused_decode_supported(512, 64, 96, m_fused.cfg.raster)
+    fused = np.asarray(
+        m_fused.decompress_wo_ec(st.params, st.extra, enc_dev)["render"])
+    np.testing.assert_allclose(fused, ref, atol=2e-5, rtol=0)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("cap,expect_drop", [(None, False), (256, True)])
+def test_fused_decode_n_dropped_matches_generic(cap, expect_drop):
+    """Accounting parity, incl. under a tight stream cap that forces
+    truncation (cap=256 over ~512 gaussians' instances)."""
+    from gaussianimage_tpu.models.cholesky import CHOLESKY_BOUND
+    from gaussianimage_tpu.ops.splat_prep import (fused_decode_cholesky,
+                                                  fused_decode_supported)
+    from gaussianimage_tpu.ops import rasterize_gaussians_sum
+
+    m_ref, st = _quantized_state()
+    cfg = m_ref.cfg.raster._replace(fused_decode_prep=True,
+                                    max_instances=cap)
+    assert fused_decode_supported(512, 64, 96, cfg)
+    enc = m_ref.compress_wo_ec(st.params, st.extra)
+    enc_dev = {k: jnp.asarray(v) for k, v in enc.items()}
+
+    # generic path aux
+    means, geo, colors = m_ref.dequantize_wo_ec(st.params, st.extra, enc_dev)
+    xys, radii, conics, cols, opac = m_ref._quantized_splat(
+        st.params, means, geo, colors)
+    _, _, aux_ref = rasterize_gaussians_sum(
+        xys, conics, cols, opac, 64, 96, radii=radii, config=cfg)
+
+    embed = st.extra["vq"].embed
+    combined = (embed[0][:, None, :] + embed[1][None, :, :]).reshape(-1, 3)
+    _, _, aux = fused_decode_cholesky(
+        jnp.asarray(enc["xyz"], jnp.float32),
+        jnp.asarray(enc["quant_cholesky"]),
+        st.params["cholesky_quant_scale"], st.params["cholesky_quant_beta"],
+        CHOLESKY_BOUND, jnp.asarray(enc["feature_dc_index"]), combined,
+        64, 96, cfg)
+    assert int(aux["n_dropped"]) == int(aux_ref["n_dropped"])
+    assert int(aux["max_per_tile_used"]) == int(aux_ref["max_per_tile_used"])
+    if expect_drop:
+        assert int(aux["n_dropped"]) > 0
+
+
+def test_fused_gate_rejects_aligned_and_wide_regimes():
+    from gaussianimage_tpu.ops.splat_prep import fused_decode_supported
+    cfg = RasterizeConfig(fused_decode_prep=True)
+    assert fused_decode_supported(10000, 512, 768, cfg)
+    # aligned regime (instance budget over the flat-stream limit)
+    assert not fused_decode_supported(
+        10000, 512, 768, cfg._replace(flat_stream_limit=1000))
+    # off by default
+    assert not fused_decode_supported(10000, 512, 768, RasterizeConfig())
