@@ -102,6 +102,13 @@ class GaussianModelBase:
                iteration: int | jnp.ndarray = 0, extra=None, **kw) -> Dict[str, Any]:
         raise NotImplementedError
 
+    def render_fast(self, params) -> jnp.ndarray:
+        """Inference-only render returning [1, 3, H, W] — the FPS-probe /
+        serving entry. Default: the full render()'s image. Models may
+        override with a faster non-differentiable pipeline producing the
+        SAME image (e.g. the fused splat-prep kernel, ops/splat_prep.py)."""
+        return self.render(params)["render"]
+
     def loss(self, params, gt_image, *, key=None, iteration=0, extra=None
              ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         """Returns (scalar loss, aux dict incl. 'render' and 'mse')."""

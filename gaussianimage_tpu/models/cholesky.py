@@ -94,7 +94,7 @@ class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
         return img, alpha, aux
 
     def decompress_wo_ec(self, params, extra, enc):
-        """Decode path. With RasterizeConfig.fused_decode_prep (and the
+        """Decode path. With RasterizeConfig.fused_prep (and the
         flat-stream packed-key regime), the dequantize + projection +
         packing + binning-key glue runs as ONE Pallas pass
         (ops/splat_prep.py) — ~10 fewer op launches per frame on the
@@ -129,6 +129,24 @@ class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
     @staticmethod
     def get_features(params):
         return params["_features_dc"]
+
+    def render_fast(self, params):
+        """Inference render via the fused prep kernel when enabled
+        (RasterizeConfig.fused_prep + flat-stream packed-key regime):
+        tanh/bound/projection/packing/binning-keys in ONE Pallas pass.
+        Identical image to render() (tests/test_splat_prep.py)."""
+        from gaussianimage_tpu.ops.splat_prep import (fused_decode_supported,
+                                                      fused_render_cholesky)
+        cfg = self.cfg
+        N = params["_xyz"].shape[0]
+        if not fused_decode_supported(N, cfg.H, cfg.W, cfg.raster):
+            return super().render_fast(params)
+        img, _, _ = fused_render_cholesky(
+            params["_xyz"], params["_cholesky"], params["_features_dc"],
+            CHOLESKY_BOUND, cfg.H, cfg.W, cfg.raster)
+        if not cfg.no_clamp:
+            img = jnp.clip(img, 0.0, 1.0)
+        return img[None]
 
     # rendering -------------------------------------------------------------
     def splat(self, params):

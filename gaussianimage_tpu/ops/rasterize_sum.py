@@ -79,7 +79,7 @@ class RasterizeConfig(NamedTuple):
     #   transposed blocks whose VMEM footprint is exact (the flat layout
     #   pads 16 -> 128 lanes, 8x, and stops fitting around ~50k gaussians)
     interpret: Optional[bool] = None  # None => interpret iff not on TPU
-    fused_decode_prep: bool = False  # decode path: ONE Pallas pass for
+    fused_prep: bool = False  # decode path: ONE Pallas pass for
     #   dequantize + projection + feature packing + binning keys
     #   (ops/splat_prep.py) instead of ~10 small XLA fusions; inference
     #   only, flat-stream packed-key regime only (falls back otherwise)

@@ -23,7 +23,7 @@ The math replicates core/covariance.py + ops/rasterize_sum.py `_axis_radii`
 parity is pinned by tests/test_splat_prep.py against the reference chain.
 
 Decode/inference only — no VJP (training keeps the autodiff projection +
-custom-vjp rasterizer). Opt in via RasterizeConfig.fused_decode_prep.
+custom-vjp rasterizer). Opt in via RasterizeConfig.fused_prep.
 """
 
 from __future__ import annotations
@@ -41,42 +41,16 @@ _BLK = 512       # gaussians per grid step
 _INT_MAX = np.int32(2 ** 31 - 1)
 
 
-def _prep_kernel(xyz_ref, codes_ref, idx_ref, scale_ref, beta_ref,
-                 embed_ref, feat_ref, keys_ref, stats_ref, *,
-                 N, H, W, tile_px, tiles_x, tiles_y, M, id_bits, q_cut,
-                 bound, blk):
-    pid = pl.program_id(0)
-    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
-           + pid * blk)                      # [blk, 1] global gaussian id
-    valid = row < N                          # sentinel/pad rows
-
-    # ---- dequantize ------------------------------------------------------
-    # means: tanh(f16-rounded codes) -> NDC -> pixel (ndc_to_pixel); the
-    # f16 -> f32 cast happens at the call site (Mosaic fp16 support is
-    # shaky; the value semantics are identical)
-    means = jnp.tanh(xyz_ref[...])                            # [blk, 2]
+def _project_pack_bin(row, valid, means, l11, l21, l22, colors,
+                      feat_ref, keys_ref, stats_ref, *,
+                      N, H, W, tile_px, tiles_x, tiles_y, M, id_bits,
+                      q_cut, blk):
+    """Shared core: pixel mapping, Cholesky -> conic/radii, premultiplied
+    feature rows (opacity == 1 on these models), packed binning keys and
+    truncation accounting. All math replicates core/covariance.py +
+    rasterize_sum._axis_radii + tiles._expand_instances op-for-op."""
     x = 0.5 * ((means[:, 0:1] + 1.0) * W - 1.0)
     y = 0.5 * ((means[:, 1:2] + 1.0) * H - 1.0)
-    # cholesky: codes * scale + beta, then the reference bound offset
-    # (bound enters as three static scalars — a captured [3] array would be
-    # a pallas constant)
-    chol = (codes_ref[...].astype(jnp.float32) * scale_ref[...]
-            + beta_ref[...])                                  # [blk, 3]
-    b0, b1, b2 = (float(bound[0]), float(bound[1]), float(bound[2]))
-    # colors: residual-VQ combined-codebook lookup (codec/vq.py decompress
-    # = sum of per-layer embeddings == one gather from the combined table)
-    comb = idx_ref[:, 0:1] * 8 + idx_ref[:, 1:2]              # [blk, 1]
-    oh = (comb == jax.lax.broadcasted_iota(jnp.int32, (blk, 64), 1))
-    colors = jax.lax.dot_general(
-        oh.astype(jnp.float32), embed_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                  # [blk, 3]
-
-    # ---- project (cov2d_from_cholesky -> conic_from_cov2d) ---------------
-    l11 = chol[:, 0:1] + b0
-    l21 = chol[:, 1:2] + b1
-    l22 = chol[:, 2:3] + b2
     s11 = l11 * l11
     s12 = l11 * l21
     s22 = l21 * l21 + l22 * l22
@@ -128,7 +102,59 @@ def _prep_kernel(xyz_ref, codes_ref, idx_ref, scale_ref, beta_ref,
     stats_ref[...] = jnp.concatenate([trunc, n_live], axis=1)
 
 
-def fused_decode_prep_cholesky(
+def _decode_kernel(xyz_ref, codes_ref, idx_ref, scale_ref, beta_ref,
+                   embed_ref, feat_ref, keys_ref, stats_ref, *,
+                   N, H, W, tile_px, tiles_x, tiles_y, M, id_bits, q_cut,
+                   bound, blk):
+    pid = pl.program_id(0)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+           + pid * blk)                      # [blk, 1] global gaussian id
+    valid = row < N                          # sentinel/pad rows
+
+    # means: tanh(f16-rounded codes) -> NDC (the f16 -> f32 cast happens at
+    # the call site; Mosaic fp16 support is shaky, values are identical)
+    means = jnp.tanh(xyz_ref[...])                            # [blk, 2]
+    # cholesky: codes * scale + beta, then the reference bound offset
+    # (bound enters as three static scalars — a captured [3] array would be
+    # a pallas constant)
+    chol = (codes_ref[...].astype(jnp.float32) * scale_ref[...]
+            + beta_ref[...])                                  # [blk, 3]
+    b0, b1, b2 = (float(bound[0]), float(bound[1]), float(bound[2]))
+    # colors: residual-VQ combined-codebook lookup (codec/vq.py decompress
+    # = sum of per-layer embeddings == one gather from the combined table)
+    comb = idx_ref[:, 0:1] * 8 + idx_ref[:, 1:2]              # [blk, 1]
+    oh = (comb == jax.lax.broadcasted_iota(jnp.int32, (blk, 64), 1))
+    colors = jax.lax.dot_general(
+        oh.astype(jnp.float32), embed_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # [blk, 3]
+    _project_pack_bin(
+        row, valid, means, chol[:, 0:1] + b0, chol[:, 1:2] + b1,
+        chol[:, 2:3] + b2, colors, feat_ref, keys_ref, stats_ref,
+        N=N, H=H, W=W, tile_px=tile_px, tiles_x=tiles_x, tiles_y=tiles_y,
+        M=M, id_bits=id_bits, q_cut=q_cut, blk=blk)
+
+
+def _raw_kernel(xyz_ref, chol_ref, colors_ref, feat_ref, keys_ref,
+                stats_ref, *, N, H, W, tile_px, tiles_x, tiles_y, M,
+                id_bits, q_cut, bound, blk):
+    """Non-quantized render prep: raw params -> feat + keys (the inference
+    render path's glue — tanh means, bound offset, projection, packing)."""
+    pid = pl.program_id(0)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + pid * blk)
+    valid = row < N
+    means = jnp.tanh(xyz_ref[...])
+    chol = chol_ref[...]
+    b0, b1, b2 = (float(bound[0]), float(bound[1]), float(bound[2]))
+    _project_pack_bin(
+        row, valid, means, chol[:, 0:1] + b0, chol[:, 1:2] + b1,
+        chol[:, 2:3] + b2, colors_ref[...], feat_ref, keys_ref, stats_ref,
+        N=N, H=H, W=W, tile_px=tile_px, tiles_x=tiles_x, tiles_y=tiles_y,
+        M=M, id_bits=id_bits, q_cut=q_cut, blk=blk)
+
+
+def fused_prep_cholesky(
     enc_xyz: jnp.ndarray,        # [N, 2] float16 codes
     chol_codes: jnp.ndarray,     # [N, 3] int codes
     quant_scale: jnp.ndarray,    # [3]
@@ -151,7 +177,7 @@ def fused_decode_prep_cholesky(
     n_pad = -(-(N + 1) // blk) * blk
     grid = n_pad // blk
 
-    kern = lambda *refs: _prep_kernel(  # noqa: E731
+    kern = lambda *refs: _decode_kernel(  # noqa: E731
         *refs, N=N, H=H, W=W, tile_px=tp, tiles_x=tiles_x, tiles_y=tiles_y,
         M=M, id_bits=id_bits, q_cut=float(cfg.q_cut),
         bound=np.asarray(bound, np.float32), blk=blk)
@@ -191,10 +217,80 @@ def fused_decode_prep_cholesky(
             tot[0].astype(jnp.int32), tot[1].astype(jnp.int32))
 
 
+def fused_raw_prep_cholesky(
+    xyz: jnp.ndarray,            # [N, 2] raw atanh-space positions
+    chol_raw: jnp.ndarray,       # [N, 3] raw cholesky params (pre-bound)
+    colors: jnp.ndarray,         # [N, 3]
+    bound: np.ndarray,           # [3] static cholesky bound offset
+    H: int, W: int, cfg, m_span: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Raw-parameter variant of the fused prep (inference render path).
+    Returns (feat [N+1,16], keys, trunc, n_total)."""
+    N = xyz.shape[0]
+    tp = cfg.tile_px
+    tiles_x = -(-W // tp)
+    tiles_y = -(-H // tp)
+    M = m_span
+    id_bits = max(int(N - 1).bit_length(), 1)
+    assert (tiles_x * tiles_y + 1) * (1 << id_bits) < 2 ** 31, (
+        "fused prep requires the packed-key regime")
+    blk = _BLK
+    n_pad = -(-(N + 1) // blk) * blk
+    grid = n_pad // blk
+
+    kern = lambda *refs: _raw_kernel(  # noqa: E731
+        *refs, N=N, H=H, W=W, tile_px=tp, tiles_x=tiles_x, tiles_y=tiles_y,
+        M=M, id_bits=id_bits, q_cut=float(cfg.q_cut),
+        bound=np.asarray(bound, np.float32), blk=blk)
+
+    feat, keys, stats = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((blk, 2), lambda b: (b, 0)),
+            pl.BlockSpec((blk, 3), lambda b: (b, 0)),
+            pl.BlockSpec((blk, 3), lambda b: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, sc.FW), lambda b: (b, 0)),
+            pl.BlockSpec((blk, M), lambda b: (b, 0)),
+            pl.BlockSpec((blk, 2), lambda b: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, sc.FW), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, M), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+        ],
+        interpret=sc.use_interpret(cfg),
+    )(
+        xyz.astype(jnp.float32),
+        chol_raw.astype(jnp.float32),
+        colors.astype(jnp.float32),
+    )
+    tot = stats.sum(axis=0)
+    return (feat[:N + 1], keys.reshape(-1),
+            tot[0].astype(jnp.int32), tot[1].astype(jnp.int32))
+
+
+def fused_render_cholesky(xyz, chol_raw, colors, bound, H: int, W: int,
+                          cfg):
+    """Fused inference render from raw params: ONE prep kernel + sort-binned
+    forward rasterize. Returns (img [3,H,W], alpha [H,W], aux) unclamped."""
+    from gaussianimage_tpu.ops.rasterize_sum import rasterize_from_keys_chw
+
+    N = xyz.shape[0]
+    I0, m_span, aligned = sc.stream_caps(N, cfg)
+    assert not aligned, "fused render prep is flat-stream only"
+    feat, keys, trunc, n_total = fused_raw_prep_cholesky(
+        xyz, chol_raw, colors, bound, H, W, cfg, m_span)
+    return rasterize_from_keys_chw(feat, keys, trunc, n_total, H, W, cfg,
+                                   I0)
+
+
 def fused_decode_supported(N: int, H: int, W: int, cfg) -> bool:
     """Static gate: flat-stream + packed-key regime (the fused prep's only
     mode); callers fall back to the generic decode path otherwise."""
-    if not getattr(cfg, "fused_decode_prep", False):
+    if not getattr(cfg, "fused_prep", False):
         return False
     _, _, aligned = sc.stream_caps(N, cfg)
     if aligned:
@@ -216,7 +312,7 @@ def fused_decode_cholesky(enc_xyz, chol_codes, quant_scale, quant_beta,
     N = enc_xyz.shape[0]
     I0, m_span, aligned = sc.stream_caps(N, cfg)
     assert not aligned, "fused decode prep is flat-stream only"
-    feat, keys, trunc, n_total = fused_decode_prep_cholesky(
+    feat, keys, trunc, n_total = fused_prep_cholesky(
         enc_xyz, chol_codes, quant_scale, quant_beta, bound, vq_idx,
         embed_combined, H, W, cfg, m_span)
     return rasterize_from_keys_chw(feat, keys, trunc, n_total, H, W, cfg,

@@ -26,13 +26,13 @@ def _quantized_state(H=64, W=96, N=512, **raster_kw):
 
 def test_fused_decode_matches_generic():
     m_ref, st = _quantized_state()
-    m_fused, _ = _quantized_state(fused_decode_prep=True)
+    m_fused, _ = _quantized_state(fused_prep=True)
     enc = m_ref.compress_wo_ec(st.params, st.extra)
     enc_dev = {k: jnp.asarray(v) for k, v in enc.items()}
 
     ref = np.asarray(
         m_ref.decompress_wo_ec(st.params, st.extra, enc_dev)["render"])
-    assert not m_ref.cfg.raster.fused_decode_prep
+    assert not m_ref.cfg.raster.fused_prep
     from gaussianimage_tpu.ops.splat_prep import fused_decode_supported
     assert fused_decode_supported(512, 64, 96, m_fused.cfg.raster)
     fused = np.asarray(
@@ -53,7 +53,7 @@ def test_fused_decode_n_dropped_matches_generic(cap, expect_drop):
     from gaussianimage_tpu.ops import rasterize_gaussians_sum
 
     m_ref, st = _quantized_state()
-    cfg = m_ref.cfg.raster._replace(fused_decode_prep=True,
+    cfg = m_ref.cfg.raster._replace(fused_prep=True,
                                     max_instances=cap)
     assert fused_decode_supported(512, 64, 96, cfg)
     enc = m_ref.compress_wo_ec(st.params, st.extra)
@@ -80,9 +80,27 @@ def test_fused_decode_n_dropped_matches_generic(cap, expect_drop):
         assert int(aux["n_dropped"]) > 0
 
 
+def test_render_fast_matches_render():
+    """The raw-parameter fused prep must reproduce render() exactly; with
+    the flag off, render_fast IS render."""
+    H, W, N = 64, 96, 512
+    gt = jnp.asarray(synthetic_image(H, W, seed=5))
+    m_off = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W)
+    st = m_off.init_state(jax.random.PRNGKey(2), gt_image=gt)
+    st, _ = m_off.train_chunk(st, gt, None, jnp.asarray(1), 50)
+    ref = np.asarray(m_off.render(st.params)["render"])
+    np.testing.assert_array_equal(
+        np.asarray(m_off.render_fast(st.params)), ref)
+
+    m_on = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                      raster=RasterizeConfig(fused_prep=True))
+    fast = np.asarray(m_on.render_fast(st.params))
+    np.testing.assert_allclose(fast, ref, atol=2e-5, rtol=0)
+
+
 def test_fused_gate_rejects_aligned_and_wide_regimes():
     from gaussianimage_tpu.ops.splat_prep import fused_decode_supported
-    cfg = RasterizeConfig(fused_decode_prep=True)
+    cfg = RasterizeConfig(fused_prep=True)
     assert fused_decode_supported(10000, 512, 768, cfg)
     # aligned regime (instance budget over the flat-stream limit)
     assert not fused_decode_supported(
