@@ -81,6 +81,44 @@ class GaussianImageRS(QuantizeMixin, GaussianModelBase):
             radii=radii, config=cfg.raster)
         return img, alpha, aux
 
+    def decompress_wo_ec(self, params, extra, enc):
+        """Decode path; with RasterizeConfig.fused_prep the glue runs as
+        one Pallas pass (see GaussianImageCholesky.decompress_wo_ec)."""
+        from gaussianimage_tpu.ops.splat_prep import (fused_decode_rs,
+                                                      fused_decode_supported)
+        cfg = self.cfg
+        N = params["_xyz"].shape[0]
+        if not fused_decode_supported(N, cfg.H, cfg.W, cfg.raster):
+            return super().decompress_wo_ec(params, extra, enc)
+        embed = extra["vq"].embed
+        combined = (embed[0][:, None, :] + embed[1][None, :, :]
+                    ).reshape(-1, embed.shape[-1])
+        img, _, _ = fused_decode_rs(
+            jnp.asarray(enc["xyz"], jnp.float32),
+            jnp.asarray(enc["quant_scaling"]),
+            jnp.asarray(enc["quant_rotation"]),
+            params["scaling_quant_scale"], params["scaling_quant_beta"],
+            params["rotation_quant_scale"], params["rotation_quant_beta"],
+            SCALING_BOUND, jnp.asarray(enc["feature_dc_index"]), combined,
+            cfg.H, cfg.W, cfg.raster)
+        img = jnp.clip(img, 0.0, 1.0)
+        return {"render": img[None]}
+
+    def render_fast(self, params):
+        """Inference render via the fused RS prep kernel when enabled."""
+        from gaussianimage_tpu.ops.splat_prep import (fused_decode_supported,
+                                                      fused_render_rs)
+        cfg = self.cfg
+        N = params["_xyz"].shape[0]
+        if not fused_decode_supported(N, cfg.H, cfg.W, cfg.raster):
+            return super().render_fast(params)
+        img, _, _ = fused_render_rs(
+            params["_xyz"], params["_scaling"], params["_rotation"],
+            params["_features_dc"], SCALING_BOUND, cfg.H, cfg.W, cfg.raster)
+        if not cfg.no_clamp:
+            img = jnp.clip(img, 0.0, 1.0)
+        return img[None]
+
     @staticmethod
     def get_xyz(params):
         return jnp.tanh(params["_xyz"])

@@ -41,19 +41,18 @@ _BLK = 512       # gaussians per grid step
 _INT_MAX = np.int32(2 ** 31 - 1)
 
 
-def _project_pack_bin(row, valid, means, l11, l21, l22, colors,
+def _project_pack_bin(row, valid, means, s11, s12, s22, colors,
                       feat_ref, keys_ref, stats_ref, *,
                       N, H, W, tile_px, tiles_x, tiles_y, M, id_bits,
                       q_cut, blk):
-    """Shared core: pixel mapping, Cholesky -> conic/radii, premultiplied
+    """Shared core: pixel mapping, covariance -> conic/radii, premultiplied
     feature rows (opacity == 1 on these models), packed binning keys and
-    truncation accounting. All math replicates core/covariance.py +
-    rasterize_sum._axis_radii + tiles._expand_instances op-for-op."""
+    truncation accounting. Covariance entries (s11, s12, s22) come from the
+    per-parameterization front (Cholesky or scale-rot). All math replicates
+    core/covariance.py + rasterize_sum._axis_radii +
+    tiles._expand_instances op-for-op."""
     x = 0.5 * ((means[:, 0:1] + 1.0) * W - 1.0)
     y = 0.5 * ((means[:, 1:2] + 1.0) * H - 1.0)
-    s11 = l11 * l11
-    s12 = l11 * l21
-    s22 = l21 * l21 + l22 * l22
     det = s11 * s22 - s12 * s12
     inv_det = 1.0 / jnp.maximum(det, 1e-6)
     ca = s22 * inv_det
@@ -129,9 +128,12 @@ def _decode_kernel(xyz_ref, codes_ref, idx_ref, scale_ref, beta_ref,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)                  # [blk, 3]
+    l11 = chol[:, 0:1] + b0
+    l21 = chol[:, 1:2] + b1
+    l22 = chol[:, 2:3] + b2
     _project_pack_bin(
-        row, valid, means, chol[:, 0:1] + b0, chol[:, 1:2] + b1,
-        chol[:, 2:3] + b2, colors, feat_ref, keys_ref, stats_ref,
+        row, valid, means, l11 * l11, l11 * l21,
+        l21 * l21 + l22 * l22, colors, feat_ref, keys_ref, stats_ref,
         N=N, H=H, W=W, tile_px=tile_px, tiles_x=tiles_x, tiles_y=tiles_y,
         M=M, id_bits=id_bits, q_cut=q_cut, blk=blk)
 
@@ -147,11 +149,65 @@ def _raw_kernel(xyz_ref, chol_ref, colors_ref, feat_ref, keys_ref,
     means = jnp.tanh(xyz_ref[...])
     chol = chol_ref[...]
     b0, b1, b2 = (float(bound[0]), float(bound[1]), float(bound[2]))
+    l11 = chol[:, 0:1] + b0
+    l21 = chol[:, 1:2] + b1
+    l22 = chol[:, 2:3] + b2
     _project_pack_bin(
-        row, valid, means, chol[:, 0:1] + b0, chol[:, 1:2] + b1,
-        chol[:, 2:3] + b2, colors_ref[...], feat_ref, keys_ref, stats_ref,
+        row, valid, means, l11 * l11, l11 * l21,
+        l21 * l21 + l22 * l22, colors_ref[...], feat_ref, keys_ref,
+        stats_ref,
         N=N, H=H, W=W, tile_px=tile_px, tiles_x=tiles_x, tiles_y=tiles_y,
         M=M, id_bits=id_bits, q_cut=q_cut, blk=blk)
+
+
+def _run_prep(kernel_fn, arrays, in_specs, N, H, W, cfg, m_span,
+              bound) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                              jnp.ndarray]:
+    """Shared pallas_call plumbing for every prep front. Returns
+    (feat [N+1,16], keys [N_pad*M] int32 flat, trunc [], n_total [])."""
+    tp = cfg.tile_px
+    tiles_x = -(-W // tp)
+    tiles_y = -(-H // tp)
+    M = m_span
+    id_bits = max(int(N - 1).bit_length(), 1)
+    assert (tiles_x * tiles_y + 1) * (1 << id_bits) < 2 ** 31, (
+        "fused prep requires the packed-key regime")
+    blk = _BLK
+    n_pad = -(-(N + 1) // blk) * blk
+    grid = n_pad // blk
+
+    kern = lambda *refs: kernel_fn(  # noqa: E731
+        *refs, N=N, H=H, W=W, tile_px=tp, tiles_x=tiles_x, tiles_y=tiles_y,
+        M=M, id_bits=id_bits, q_cut=float(cfg.q_cut),
+        bound=np.asarray(bound, np.float32), blk=blk)
+
+    feat, keys, stats = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((blk, sc.FW), lambda b: (b, 0)),
+            pl.BlockSpec((blk, M), lambda b: (b, 0)),
+            pl.BlockSpec((blk, 2), lambda b: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, sc.FW), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, M), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+        ],
+        interpret=sc.use_interpret(cfg),
+    )(*arrays)
+    tot = stats.sum(axis=0)
+    return (feat[:N + 1], keys.reshape(-1),
+            tot[0].astype(jnp.int32), tot[1].astype(jnp.int32))
+
+
+def _row_spec(k, blk=_BLK):
+    return pl.BlockSpec((blk, k), lambda b: (b, 0))
+
+
+def _const_spec(r, k):
+    return pl.BlockSpec((r, k), lambda b: (0, 0))
 
 
 def fused_prep_cholesky(
@@ -163,58 +219,18 @@ def fused_prep_cholesky(
     vq_idx: jnp.ndarray,         # [N, 2] int32 residual-VQ indices
     embed_combined: jnp.ndarray,  # [64, 3] combined codebook
     H: int, W: int, cfg, m_span: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (feat [N+1,16], keys [N_pad*M] int32, trunc [], n_total [])."""
-    N = enc_xyz.shape[0]
-    tp = cfg.tile_px
-    tiles_x = -(-W // tp)
-    tiles_y = -(-H // tp)
-    M = m_span
-    id_bits = max(int(N - 1).bit_length(), 1)
-    assert (tiles_x * tiles_y + 1) * (1 << id_bits) < 2 ** 31, (
-        "fused prep requires the packed-key regime")
-    blk = _BLK
-    n_pad = -(-(N + 1) // blk) * blk
-    grid = n_pad // blk
-
-    kern = lambda *refs: _decode_kernel(  # noqa: E731
-        *refs, N=N, H=H, W=W, tile_px=tp, tiles_x=tiles_x, tiles_y=tiles_y,
-        M=M, id_bits=id_bits, q_cut=float(cfg.q_cut),
-        bound=np.asarray(bound, np.float32), blk=blk)
-
-    feat, keys, stats = pl.pallas_call(
-        kern,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((blk, 2), lambda b: (b, 0)),
-            pl.BlockSpec((blk, 3), lambda b: (b, 0)),
-            pl.BlockSpec((blk, 2), lambda b: (b, 0)),
-            pl.BlockSpec((1, 3), lambda b: (0, 0)),
-            pl.BlockSpec((1, 3), lambda b: (0, 0)),
-            pl.BlockSpec((64, 3), lambda b: (0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((blk, sc.FW), lambda b: (b, 0)),
-            pl.BlockSpec((blk, M), lambda b: (b, 0)),
-            pl.BlockSpec((blk, 2), lambda b: (b, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, sc.FW), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, M), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
-        ],
-        interpret=sc.use_interpret(cfg),
-    )(
-        enc_xyz.astype(jnp.float32),
-        chol_codes.astype(jnp.int32),
-        vq_idx.astype(jnp.int32),
-        quant_scale.reshape(1, 3).astype(jnp.float32),
-        quant_beta.reshape(1, 3).astype(jnp.float32),
-        embed_combined.astype(jnp.float32),
-    )
-    tot = stats.sum(axis=0)
-    return (feat[:N + 1], keys.reshape(-1),
-            tot[0].astype(jnp.int32), tot[1].astype(jnp.int32))
+):
+    """Cholesky decode front: code arrays -> (feat, keys, trunc, n_total)."""
+    return _run_prep(
+        _decode_kernel,
+        (enc_xyz.astype(jnp.float32), chol_codes.astype(jnp.int32),
+         vq_idx.astype(jnp.int32),
+         quant_scale.reshape(1, 3).astype(jnp.float32),
+         quant_beta.reshape(1, 3).astype(jnp.float32),
+         embed_combined.astype(jnp.float32)),
+        [_row_spec(2), _row_spec(3), _row_spec(2),
+         _const_spec(1, 3), _const_spec(1, 3), _const_spec(64, 3)],
+        enc_xyz.shape[0], H, W, cfg, m_span, bound)
 
 
 def fused_raw_prep_cholesky(
@@ -223,53 +239,109 @@ def fused_raw_prep_cholesky(
     colors: jnp.ndarray,         # [N, 3]
     bound: np.ndarray,           # [3] static cholesky bound offset
     H: int, W: int, cfg, m_span: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Raw-parameter variant of the fused prep (inference render path).
-    Returns (feat [N+1,16], keys, trunc, n_total)."""
-    N = xyz.shape[0]
-    tp = cfg.tile_px
-    tiles_x = -(-W // tp)
-    tiles_y = -(-H // tp)
-    M = m_span
-    id_bits = max(int(N - 1).bit_length(), 1)
-    assert (tiles_x * tiles_y + 1) * (1 << id_bits) < 2 ** 31, (
-        "fused prep requires the packed-key regime")
-    blk = _BLK
-    n_pad = -(-(N + 1) // blk) * blk
-    grid = n_pad // blk
+):
+    """Raw-parameter Cholesky front (inference render path)."""
+    return _run_prep(
+        _raw_kernel,
+        (xyz.astype(jnp.float32), chol_raw.astype(jnp.float32),
+         colors.astype(jnp.float32)),
+        [_row_spec(2), _row_spec(3), _row_spec(3)],
+        xyz.shape[0], H, W, cfg, m_span, bound)
 
-    kern = lambda *refs: _raw_kernel(  # noqa: E731
-        *refs, N=N, H=H, W=W, tile_px=tp, tiles_x=tiles_x, tiles_y=tiles_y,
-        M=M, id_bits=id_bits, q_cut=float(cfg.q_cut),
-        bound=np.asarray(bound, np.float32), blk=blk)
 
-    feat, keys, stats = pl.pallas_call(
-        kern,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((blk, 2), lambda b: (b, 0)),
-            pl.BlockSpec((blk, 3), lambda b: (b, 0)),
-            pl.BlockSpec((blk, 3), lambda b: (b, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((blk, sc.FW), lambda b: (b, 0)),
-            pl.BlockSpec((blk, M), lambda b: (b, 0)),
-            pl.BlockSpec((blk, 2), lambda b: (b, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, sc.FW), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, M), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
-        ],
-        interpret=sc.use_interpret(cfg),
-    )(
-        xyz.astype(jnp.float32),
-        chol_raw.astype(jnp.float32),
-        colors.astype(jnp.float32),
-    )
-    tot = stats.sum(axis=0)
-    return (feat[:N + 1], keys.reshape(-1),
-            tot[0].astype(jnp.int32), tot[1].astype(jnp.int32))
+def _rs_cov(scaling, theta):
+    """cov2d_from_scale_rot, op-for-op (core/covariance.py)."""
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    sx2 = scaling[:, 0:1] * scaling[:, 0:1]
+    sy2 = scaling[:, 1:2] * scaling[:, 1:2]
+    s11 = c * c * sx2 + s * s * sy2
+    s12 = c * s * (sx2 - sy2)
+    s22 = s * s * sx2 + c * c * sy2
+    return s11, s12, s22
+
+
+def _rs_decode_kernel(xyz_ref, scodes_ref, rcodes_ref, idx_ref, sq_ref,
+                      rq_ref, embed_ref, feat_ref, keys_ref, stats_ref, *,
+                      N, H, W, tile_px, tiles_x, tiles_y, M, id_bits,
+                      q_cut, bound, blk):
+    """RS decode front: quantized raw scaling (abs(s+bound) after dequant)
+    + quantized ACTIVATED rotation (radians directly — models/rs.py:57-63,
+    reference gaussianimage_rs.py:50-52)."""
+    pid = pl.program_id(0)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + pid * blk)
+    valid = row < N
+    means = jnp.tanh(xyz_ref[...])
+    b0, b1 = float(bound[0]), float(bound[1])
+    s_deq = (scodes_ref[...].astype(jnp.float32) * sq_ref[0:1, 0:2]
+             + sq_ref[0:1, 2:4])                              # [blk, 2]
+    scaling = jnp.abs(jnp.concatenate(
+        [s_deq[:, 0:1] + b0, s_deq[:, 1:2] + b1], axis=1))
+    theta = (rcodes_ref[...].astype(jnp.float32) * rq_ref[0:1, 0:1]
+             + rq_ref[0:1, 1:2])                              # [blk, 1]
+    comb = idx_ref[:, 0:1] * 8 + idx_ref[:, 1:2]
+    oh = (comb == jax.lax.broadcasted_iota(jnp.int32, (blk, 64), 1))
+    colors = jax.lax.dot_general(
+        oh.astype(jnp.float32), embed_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    s11, s12, s22 = _rs_cov(scaling, theta)
+    _project_pack_bin(
+        row, valid, means, s11, s12, s22, colors, feat_ref, keys_ref,
+        stats_ref, N=N, H=H, W=W, tile_px=tile_px, tiles_x=tiles_x,
+        tiles_y=tiles_y, M=M, id_bits=id_bits, q_cut=q_cut, blk=blk)
+
+
+def _rs_raw_kernel(xyz_ref, scaling_ref, rot_ref, colors_ref, feat_ref,
+                   keys_ref, stats_ref, *, N, H, W, tile_px, tiles_x,
+                   tiles_y, M, id_bits, q_cut, bound, blk):
+    """RS raw front: abs(s + bound) scaling, sigmoid * 2pi rotation."""
+    pid = pl.program_id(0)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + pid * blk)
+    valid = row < N
+    means = jnp.tanh(xyz_ref[...])
+    b0, b1 = float(bound[0]), float(bound[1])
+    s_raw = scaling_ref[...]
+    scaling = jnp.abs(jnp.concatenate(
+        [s_raw[:, 0:1] + b0, s_raw[:, 1:2] + b1], axis=1))
+    theta = jax.nn.sigmoid(rot_ref[...]) * (2.0 * np.pi)
+    s11, s12, s22 = _rs_cov(scaling, theta)
+    _project_pack_bin(
+        row, valid, means, s11, s12, s22, colors_ref[...], feat_ref,
+        keys_ref, stats_ref, N=N, H=H, W=W, tile_px=tile_px,
+        tiles_x=tiles_x, tiles_y=tiles_y, M=M, id_bits=id_bits,
+        q_cut=q_cut, blk=blk)
+
+
+def fused_prep_rs(enc_xyz, scaling_codes, rot_codes, s_scale, s_beta,
+                  r_scale, r_beta, bound, vq_idx, embed_combined,
+                  H: int, W: int, cfg, m_span: int):
+    """RS decode front wrapper. Quantizer side info packs into two tiny
+    constant blocks ([1,4] scaling scale+beta, [1,2] rotation)."""
+    sq = jnp.concatenate([s_scale.reshape(-1), s_beta.reshape(-1)]
+                         ).reshape(1, 4).astype(jnp.float32)
+    rq = jnp.concatenate([r_scale.reshape(-1), r_beta.reshape(-1)]
+                         ).reshape(1, 2).astype(jnp.float32)
+    return _run_prep(
+        _rs_decode_kernel,
+        (enc_xyz.astype(jnp.float32), scaling_codes.astype(jnp.int32),
+         rot_codes.astype(jnp.int32), vq_idx.astype(jnp.int32), sq, rq,
+         embed_combined.astype(jnp.float32)),
+        [_row_spec(2), _row_spec(2), _row_spec(1), _row_spec(2),
+         _const_spec(1, 4), _const_spec(1, 2), _const_spec(64, 3)],
+        enc_xyz.shape[0], H, W, cfg, m_span, bound)
+
+
+def fused_raw_prep_rs(xyz, scaling_raw, rot_raw, colors, bound,
+                      H: int, W: int, cfg, m_span: int):
+    """RS raw front wrapper (inference render path)."""
+    return _run_prep(
+        _rs_raw_kernel,
+        (xyz.astype(jnp.float32), scaling_raw.astype(jnp.float32),
+         rot_raw.astype(jnp.float32), colors.astype(jnp.float32)),
+        [_row_spec(2), _row_spec(2), _row_spec(1), _row_spec(3)],
+        xyz.shape[0], H, W, cfg, m_span, bound)
 
 
 def fused_render_cholesky(xyz, chol_raw, colors, bound, H: int, W: int,
@@ -283,6 +355,36 @@ def fused_render_cholesky(xyz, chol_raw, colors, bound, H: int, W: int,
     assert not aligned, "fused render prep is flat-stream only"
     feat, keys, trunc, n_total = fused_raw_prep_cholesky(
         xyz, chol_raw, colors, bound, H, W, cfg, m_span)
+    return rasterize_from_keys_chw(feat, keys, trunc, n_total, H, W, cfg,
+                                   I0)
+
+
+def fused_decode_rs(enc_xyz, scaling_codes, rot_codes, s_scale, s_beta,
+                    r_scale, r_beta, bound, vq_idx, embed_combined,
+                    H: int, W: int, cfg):
+    """Full fused RS decode (see fused_decode_cholesky)."""
+    from gaussianimage_tpu.ops.rasterize_sum import rasterize_from_keys_chw
+
+    N = enc_xyz.shape[0]
+    I0, m_span, aligned = sc.stream_caps(N, cfg)
+    assert not aligned, "fused decode prep is flat-stream only"
+    feat, keys, trunc, n_total = fused_prep_rs(
+        enc_xyz, scaling_codes, rot_codes, s_scale, s_beta, r_scale,
+        r_beta, bound, vq_idx, embed_combined, H, W, cfg, m_span)
+    return rasterize_from_keys_chw(feat, keys, trunc, n_total, H, W, cfg,
+                                   I0)
+
+
+def fused_render_rs(xyz, scaling_raw, rot_raw, colors, bound,
+                    H: int, W: int, cfg):
+    """Fused RS inference render from raw params."""
+    from gaussianimage_tpu.ops.rasterize_sum import rasterize_from_keys_chw
+
+    N = xyz.shape[0]
+    I0, m_span, aligned = sc.stream_caps(N, cfg)
+    assert not aligned, "fused render prep is flat-stream only"
+    feat, keys, trunc, n_total = fused_raw_prep_rs(
+        xyz, scaling_raw, rot_raw, colors, bound, H, W, cfg, m_span)
     return rasterize_from_keys_chw(feat, keys, trunc, n_total, H, W, cfg,
                                    I0)
 

@@ -11,8 +11,9 @@ from gaussianimage_tpu.ops import RasterizeConfig
 from gaussianimage_tpu.utils.image_io import synthetic_image
 
 
-def _quantized_state(H=64, W=96, N=512, **raster_kw):
-    model = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+def _quantized_state(H=64, W=96, N=512, model_name="GaussianImage_Cholesky",
+                     **raster_kw):
+    model = make_model(model_name, num_points=N, H=H, W=W,
                        quantize=True,
                        raster=RasterizeConfig(**raster_kw))
     gt = jnp.asarray(synthetic_image(H, W, seed=3))
@@ -78,6 +79,32 @@ def test_fused_decode_n_dropped_matches_generic(cap, expect_drop):
     assert int(aux["max_per_tile_used"]) == int(aux_ref["max_per_tile_used"])
     if expect_drop:
         assert int(aux["n_dropped"]) > 0
+
+
+def test_fused_decode_matches_generic_rs():
+    m_ref, st = _quantized_state(model_name="GaussianImage_RS")
+    m_fused, _ = _quantized_state(model_name="GaussianImage_RS",
+                                  fused_prep=True)
+    enc = m_ref.compress_wo_ec(st.params, st.extra)
+    enc_dev = {k: jnp.asarray(v) for k, v in enc.items()}
+    ref = np.asarray(
+        m_ref.decompress_wo_ec(st.params, st.extra, enc_dev)["render"])
+    fused = np.asarray(
+        m_fused.decompress_wo_ec(st.params, st.extra, enc_dev)["render"])
+    np.testing.assert_allclose(fused, ref, atol=2e-5, rtol=0)
+
+
+def test_render_fast_matches_render_rs():
+    H, W, N = 64, 96, 512
+    gt = jnp.asarray(synthetic_image(H, W, seed=6))
+    m_off = make_model("GaussianImage_RS", num_points=N, H=H, W=W)
+    st = m_off.init_state(jax.random.PRNGKey(3), gt_image=gt)
+    st, _ = m_off.train_chunk(st, gt, None, jnp.asarray(1), 50)
+    ref = np.asarray(m_off.render(st.params)["render"])
+    m_on = make_model("GaussianImage_RS", num_points=N, H=H, W=W,
+                      raster=RasterizeConfig(fused_prep=True))
+    fast = np.asarray(m_on.render_fast(st.params))
+    np.testing.assert_allclose(fast, ref, atol=2e-5, rtol=0)
 
 
 def test_render_fast_matches_render():
