@@ -31,6 +31,10 @@ CHOLESKY_BOUND = np.asarray([0.5, 0.0, 0.5], np.float32)
 
 class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
     name = "GaussianImage_Cholesky"
+    # the fused splat-prep kernel hardcodes opacity == 1; subclasses whose
+    # splat modulates opacity (wMask folds the learned mask into it) must
+    # opt out or fused decode/render would silently drop it
+    fused_prep_ok = True
 
     def init_params(self, key: jax.Array, gt_image=None
                     ) -> Dict[str, jnp.ndarray]:
@@ -103,7 +107,8 @@ class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
                                                       fused_decode_supported)
         cfg = self.cfg
         N = params["_xyz"].shape[0]
-        if not fused_decode_supported(N, cfg.H, cfg.W, cfg.raster):
+        if (not self.fused_prep_ok
+                or not fused_decode_supported(N, cfg.H, cfg.W, cfg.raster)):
             return super().decompress_wo_ec(params, extra, enc)
         embed = extra["vq"].embed  # [nq, K, 3]
         combined = (embed[0][:, None, :] + embed[1][None, :, :]
@@ -139,7 +144,8 @@ class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
                                                       fused_render_cholesky)
         cfg = self.cfg
         N = params["_xyz"].shape[0]
-        if not fused_decode_supported(N, cfg.H, cfg.W, cfg.raster):
+        if (not self.fused_prep_ok
+                or not fused_decode_supported(N, cfg.H, cfg.W, cfg.raster)):
             return super().render_fast(params)
         img, _, _ = fused_render_cholesky(
             params["_xyz"], params["_cholesky"], params["_features_dc"],

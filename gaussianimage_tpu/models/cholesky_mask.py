@@ -45,6 +45,9 @@ def gumbel_sigmoid(key, logits, temperature=0.5, hard=False, eps=1e-10):
 
 
 class GaussianImageCholeskyMask(GaussianImageCholesky):
+    # the learned mask modulates opacity; the fused prep kernel (opacity
+    # hardcoded 1) would silently drop it — keep the generic paths
+    fused_prep_ok = False
     name = "GaussianImage_Cholesky_wMask"
 
     @property

@@ -125,6 +125,29 @@ def test_render_fast_matches_render():
     np.testing.assert_allclose(fast, ref, atol=2e-5, rtol=0)
 
 
+def test_wmask_opts_out_of_fused_prep():
+    """wMask folds the learned mask into opacity; the fused prep kernel
+    (opacity hardcoded 1) must never be picked for it even with the flag
+    set."""
+    from gaussianimage_tpu.models.base import MaskConfig
+    m = make_model("GaussianImage_Cholesky_wMask", num_points=256, H=64,
+                   W=96, quantize=True, mask=MaskConfig(),
+                   raster=RasterizeConfig(fused_prep=True))
+    assert m.fused_prep_ok is False
+    gt = jnp.asarray(synthetic_image(64, 96, seed=7))
+    st = m.init_state(jax.random.PRNGKey(0))
+    st = m.init_quantizer_data(st)
+    st, _ = m.train_chunk(st, gt, jax.random.PRNGKey(1), jnp.asarray(1), 20)
+    enc = m.compress_wo_ec(st.params, st.extra)
+    enc_dev = {k: jnp.asarray(v) for k, v in enc.items()}
+    a = np.asarray(m.decompress_wo_ec(st.params, st.extra, enc_dev)["render"])
+    m_off = make_model("GaussianImage_Cholesky_wMask", num_points=256, H=64,
+                       W=96, quantize=True, mask=MaskConfig())
+    b = np.asarray(
+        m_off.decompress_wo_ec(st.params, st.extra, enc_dev)["render"])
+    np.testing.assert_array_equal(a, b)
+
+
 def test_fused_gate_rejects_aligned_and_wide_regimes():
     from gaussianimage_tpu.ops.splat_prep import fused_decode_supported
     cfg = RasterizeConfig(fused_prep=True)
