@@ -37,8 +37,16 @@ from jax.experimental import pallas as pl
 
 from gaussianimage_tpu.ops import stream_common as sc
 
-_BLK = 512       # gaussians per grid step
+_BLK_CAP = 16384  # max gaussians per grid step: the whole flagship scene
+#   fits one step (VMEM at 16k rows: one-hot [16k,64] 4.2 MB + outputs
+#   ~2 MB), so the kernel pays ONE grid step of launch/DMA overhead; larger
+#   N splits into ceil((N+1)/16k) steps
 _INT_MAX = np.int32(2 ** 31 - 1)
+
+
+def _block_rows(N: int) -> int:
+    """Gaussians per grid step: one step when the scene fits the cap."""
+    return min(_BLK_CAP, -(-(N + 1) // 8) * 8)
 
 
 def _project_pack_bin(row, valid, means, s11, s12, s22, colors,
@@ -160,10 +168,12 @@ def _raw_kernel(xyz_ref, chol_ref, colors_ref, feat_ref, keys_ref,
         M=M, id_bits=id_bits, q_cut=q_cut, blk=blk)
 
 
-def _run_prep(kernel_fn, arrays, in_specs, N, H, W, cfg, m_span,
+def _run_prep(kernel_fn, arrays, in_widths, N, H, W, cfg, m_span,
               bound) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                               jnp.ndarray]:
-    """Shared pallas_call plumbing for every prep front. Returns
+    """Shared pallas_call plumbing for every prep front. ``in_widths``:
+    per-input block shape — an int k means a row-blocked (blk, k) input, a
+    (r, k) tuple a constant block replicated to every grid step. Returns
     (feat [N+1,16], keys [N_pad*M] int32 flat, trunc [], n_total [])."""
     tp = cfg.tile_px
     tiles_x = -(-W // tp)
@@ -172,7 +182,7 @@ def _run_prep(kernel_fn, arrays, in_specs, N, H, W, cfg, m_span,
     id_bits = max(int(N - 1).bit_length(), 1)
     assert (tiles_x * tiles_y + 1) * (1 << id_bits) < 2 ** 31, (
         "fused prep requires the packed-key regime")
-    blk = _BLK
+    blk = _block_rows(N)
     n_pad = -(-(N + 1) // blk) * blk
     grid = n_pad // blk
 
@@ -180,6 +190,11 @@ def _run_prep(kernel_fn, arrays, in_specs, N, H, W, cfg, m_span,
         *refs, N=N, H=H, W=W, tile_px=tp, tiles_x=tiles_x, tiles_y=tiles_y,
         M=M, id_bits=id_bits, q_cut=float(cfg.q_cut),
         bound=np.asarray(bound, np.float32), blk=blk)
+
+    in_specs = [
+        (pl.BlockSpec((w[0], w[1]), lambda b: (0, 0)) if isinstance(w, tuple)
+         else pl.BlockSpec((blk, w), lambda b: (b, 0)))
+        for w in in_widths]
 
     feat, keys, stats = pl.pallas_call(
         kern,
@@ -202,12 +217,12 @@ def _run_prep(kernel_fn, arrays, in_specs, N, H, W, cfg, m_span,
             tot[0].astype(jnp.int32), tot[1].astype(jnp.int32))
 
 
-def _row_spec(k, blk=_BLK):
-    return pl.BlockSpec((blk, k), lambda b: (b, 0))
+def _row_spec(k):
+    return k            # row-blocked (blk, k) — resolved in _run_prep
 
 
 def _const_spec(r, k):
-    return pl.BlockSpec((r, k), lambda b: (0, 0))
+    return (r, k)       # constant block replicated to every grid step
 
 
 def fused_prep_cholesky(
