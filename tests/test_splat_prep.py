@@ -148,6 +148,22 @@ def test_wmask_opts_out_of_fused_prep():
     np.testing.assert_array_equal(a, b)
 
 
+def test_render_fast_odd_image_size():
+    """Non-tile-multiple H/W (DIV2K-style) through the fused path: the
+    padded-tile crop must match the generic renderer."""
+    H, W, N = 67, 101, 256
+    gt = jnp.asarray(synthetic_image(H, W, seed=8))
+    m_off = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W)
+    st = m_off.init_state(jax.random.PRNGKey(4), gt_image=gt)
+    st, _ = m_off.train_chunk(st, gt, None, jnp.asarray(1), 40)
+    ref = np.asarray(m_off.render(st.params)["render"])
+    m_on = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                      raster=RasterizeConfig(fused_prep=True))
+    fast = np.asarray(m_on.render_fast(st.params))
+    assert fast.shape == (1, 3, H, W)
+    np.testing.assert_allclose(fast, ref, atol=2e-5, rtol=0)
+
+
 def test_fused_gate_rejects_aligned_and_wide_regimes():
     from gaussianimage_tpu.ops.splat_prep import fused_decode_supported
     cfg = RasterizeConfig(fused_prep=True)
