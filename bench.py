@@ -24,14 +24,41 @@ Timing methodology for the axon TPU runtime (see memory/verify notes):
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, ".")
 
+# Watchdog BEFORE the first backend touch: when the axon pool is not
+# granting (observed 2026-08-17: backend init blocks ~25 min then raises
+# UNAVAILABLE, or hangs indefinitely), emit an explicit diagnostic line
+# instead of hanging the driver — "hardware unavailable" must be
+# distinguishable from "framework broken".
+_READY = threading.Event()
+
+
+def _watchdog(limit_s=900):
+    if _READY.wait(limit_s):
+        return
+    print(json.dumps({
+        "metric": "render_fps_768x512_10k_gaussians", "value": 0.0,
+        "unit": "fps", "vs_baseline": 0.0,
+        "extra": {"error": "TPU backend init exceeded "
+                           f"{limit_s}s (axon pool not granting); "
+                           "no measurement possible"}}), flush=True)
+    os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.devices()  # block here (not mid-bench) if the pool is down
+_READY.set()
 
 BURST = 100     # frames per dispatch in throughput probes (the reference's
 #   probe is also 100 forwards, train.py:242-249); the scan is rolled so
