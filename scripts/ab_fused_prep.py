@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BURST = 100
+# AB_BURST / AB_CHUNKS env knobs: defaults are the real-TPU probe; a CPU
+# interpret-mode smoke run (AB_BURST=2 AB_CHUNKS=1 AB_CHUNK_ITERS=10) checks
+# the script end-to-end without hardware.
+BURST = int(os.environ.get("AB_BURST", "100"))
+CHUNKS = int(os.environ.get("AB_CHUNKS", "4"))
+CHUNK_ITERS = int(os.environ.get("AB_CHUNK_ITERS", "500"))
 
 
 def main():
@@ -33,10 +38,11 @@ def main():
     model_f = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
                          raster=RasterizeConfig(fused_prep=True))
     state = model.init_state(jax.random.PRNGKey(1), gt_image=gt)
-    chunk = jax.jit(lambda st, g, s: model.train_chunk(st, g, None, s, 500),
-                    donate_argnums=(0,))
-    for i in range(4):
-        state, _ = chunk(state, gt, jnp.asarray(i * 500 + 1))
+    chunk = jax.jit(
+        lambda st, g, s: model.train_chunk(st, g, None, s, CHUNK_ITERS),
+        donate_argnums=(0,))
+    for i in range(CHUNKS):
+        state, _ = chunk(state, gt, jnp.asarray(i * CHUNK_ITERS + 1))
     jax.block_until_ready(state.params)
 
     # QAT state from the committed two-stage artifact (same as bench.py)
