@@ -67,6 +67,28 @@ def adaptive_init_xyz(key: jax.Array, gt_image: jnp.ndarray, n: int,
     return jnp.arctanh(pts).astype(jnp.float32)
 
 
+def adaptive_init_sigma(gt_image: jnp.ndarray, xyz_atanh: jnp.ndarray,
+                        n: int, H: int, W: int, coef: float = 0.5,
+                        power: float = 0.5, mix: float = 0.3,
+                        smin: float = 0.7, smax: float = 12.0
+                        ) -> jnp.ndarray:
+    """[n] isotropic initial sigma in PIXELS: ``coef`` x the expected local
+    point spacing under the sampling density (lambda = n * p points per
+    pixel^2, spacing = 1/sqrt(lambda)) — large blobs in flat regions, ~1 px
+    at edges. The reference inits every gaussian at sigma ~ 1 px
+    (rand + 0.5 bound, gaussianimage_cholesky.py:32); matching the local
+    spacing instead was worth +2.4 dB at 2500 iters on the flower proxy
+    (results/init_ab/). Clipped to [smin, smax] so no gaussian starts
+    degenerate or absurdly wide."""
+    p = gradient_density(gt_image, H, W, power=power, mix=mix)
+    pos = jnp.tanh(xyz_atanh)
+    x = jnp.clip(((pos[:, 0] + 1) * 0.5 * W).astype(jnp.int32), 0, W - 1)
+    y = jnp.clip(((pos[:, 1] + 1) * 0.5 * H).astype(jnp.int32), 0, H - 1)
+    lam = n * p.reshape(H, W)[y, x]
+    return jnp.clip(coef / jnp.sqrt(jnp.maximum(lam, 1e-12)), smin, smax
+                    ).astype(jnp.float32)
+
+
 def init_colors_from_gt(gt_image: jnp.ndarray, xyz_atanh: jnp.ndarray,
                         H: int, W: int, scale: float = 0.5) -> jnp.ndarray:
     """[n, 3] color init: the GT pixel under each initial position, scaled

@@ -43,27 +43,36 @@ class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
         N = cfg.num_points
         adaptive = cfg.init_mode == "adaptive" and gt_image is not None
         colors = None
+        chol0 = None  # grid/uniform branches fall back to the random init
         if N == cfg.H * cfg.W:
             ys = jnp.linspace(-1.0, 1.0, cfg.H)
             xs = jnp.linspace(-1.0, 1.0, cfg.W)
             grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
             xyz = jnp.arctanh(grid.reshape(-1, 2) * (1 - 1e-4))
         elif adaptive:
-            # positions ~ GT gradient density, colors from the GT pixels
-            # (core/init.py); the reference always inits uniformly
-            from gaussianimage_tpu.core.init import (adaptive_init_xyz,
+            # positions ~ GT gradient density, colors from the GT pixels,
+            # sigma from the local point spacing (core/init.py); the
+            # reference always inits uniformly at sigma ~ 1 px
+            from gaussianimage_tpu.core.init import (adaptive_init_sigma,
+                                                     adaptive_init_xyz,
                                                      init_colors_from_gt)
             xyz = adaptive_init_xyz(k1, gt_image, N, cfg.H, cfg.W)
             colors = init_colors_from_gt(gt_image, xyz, cfg.H, cfg.W)
+            sig = adaptive_init_sigma(gt_image, xyz, N, cfg.H, cfg.W)
+            chol0 = jnp.stack(
+                [sig - CHOLESKY_BOUND[0], jnp.zeros_like(sig),
+                 sig - CHOLESKY_BOUND[2]], axis=1)
         else:
             u = jax.random.uniform(k1, (N, 2), minval=-(1 - 1e-6),
                                    maxval=1 - 1e-6)
             xyz = jnp.arctanh(u)
         if colors is None:
             colors = jax.random.uniform(k3, (N, 3)).astype(jnp.float32)
+        if chol0 is None:
+            chol0 = jax.random.uniform(k2, (N, 3)).astype(jnp.float32)
         params = {
             "_xyz": xyz.astype(jnp.float32),
-            "_cholesky": jax.random.uniform(k2, (N, 3)).astype(jnp.float32),
+            "_cholesky": chol0.astype(jnp.float32),
             "_features_dc": colors,
         }
         if cfg.quantize:

@@ -33,18 +33,25 @@ class GaussianImageRS(QuantizeMixin, GaussianModelBase):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         N = cfg.num_points
         if cfg.init_mode == "adaptive" and gt_image is not None:
-            from gaussianimage_tpu.core.init import (adaptive_init_xyz,
+            from gaussianimage_tpu.core.init import (adaptive_init_sigma,
+                                                     adaptive_init_xyz,
                                                      init_colors_from_gt)
             xyz = adaptive_init_xyz(k1, gt_image, N, cfg.H, cfg.W)
             colors = init_colors_from_gt(gt_image, xyz, cfg.H, cfg.W)
+            # isotropic sigma = local spacing (rotation then irrelevant;
+            # scales = |raw + bound|, so raw = sigma - bound)
+            sig = adaptive_init_sigma(gt_image, xyz, N, cfg.H, cfg.W)
+            scaling0 = jnp.stack([sig - SCALING_BOUND[0],
+                                  sig - SCALING_BOUND[1]], axis=1)
         else:
             u = jax.random.uniform(k1, (N, 2), minval=-(1 - 1e-6),
                                    maxval=1 - 1e-6)
             xyz = jnp.arctanh(u).astype(jnp.float32)
             colors = jax.random.uniform(k4, (N, 3)).astype(jnp.float32)
+            scaling0 = jax.random.uniform(k2, (N, 2)).astype(jnp.float32)
         params = {
             "_xyz": xyz,
-            "_scaling": jax.random.uniform(k2, (N, 2)).astype(jnp.float32),
+            "_scaling": scaling0.astype(jnp.float32),
             "_rotation": jax.random.uniform(k3, (N, 1)).astype(jnp.float32),
             "_features_dc": colors,
         }

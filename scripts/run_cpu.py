@@ -21,5 +21,5 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 
 script = sys.argv[1]
 sys.argv = sys.argv[1:]
-sys.path.insert(0, os.path.dirname(os.path.abspath(script)))
+sys.path.insert(0, os.getcwd())
 runpy.run_path(script, run_name="__main__")

@@ -5,7 +5,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gaussianimage_tpu.core.init import (adaptive_init_xyz, gradient_density,
+from gaussianimage_tpu.core.init import (adaptive_init_sigma,
+                                         adaptive_init_xyz, gradient_density,
                                          init_colors_from_gt)
 from gaussianimage_tpu.models import make_model
 from gaussianimage_tpu.utils.image_io import synthetic_image
@@ -49,6 +50,36 @@ def test_colors_sample_gt_pixels():
     cols = np.asarray(init_colors_from_gt(jnp.asarray(img), xyz, H, W))
     np.testing.assert_allclose(cols[:, 0], 0.5, atol=1e-6)  # scale 0.5
     np.testing.assert_allclose(cols[:, 1:], 0.0, atol=1e-6)
+
+
+def test_sigma_tracks_local_spacing():
+    """Init sigma must be larger in flat regions (sparse points) than in
+    detailed regions (dense points), and respect the clip bounds."""
+    H, W, n = 64, 96, 512
+    img = jnp.asarray(_edge_image(H, W))
+    xyz = adaptive_init_xyz(jax.random.PRNGKey(0), img, n, H, W)
+    sig = np.asarray(adaptive_init_sigma(img, xyz, n, H, W))
+    assert sig.shape == (n,) and np.isfinite(sig).all()
+    assert sig.min() >= 0.7 - 1e-6 and sig.max() <= 12.0 + 1e-6
+    pos = np.asarray(jnp.tanh(xyz))
+    left = sig[pos[:, 0] < 0]    # flat half: few points, wide spacing
+    right = sig[pos[:, 0] > 0]   # checker half: dense points
+    assert left.size and right.size
+    assert left.mean() > 1.5 * right.mean(), (left.mean(), right.mean())
+
+
+def test_adaptive_cholesky_init_is_isotropic_sigma():
+    """The model's adaptive init stores sigma - bound with zero off-diag, so
+    L = (sigma, 0, sigma) reproduces an isotropic sigma-px gaussian."""
+    H, W, n = 64, 96, 256
+    img = jnp.asarray(_edge_image(H, W))
+    m = make_model("GaussianImage_Cholesky", num_points=n, H=H, W=W,
+                   init_mode="adaptive")
+    p = m.init_params(jax.random.PRNGKey(3), gt_image=img)
+    chol = np.asarray(p["_cholesky"]) + np.asarray([0.5, 0.0, 0.5])
+    np.testing.assert_allclose(chol[:, 1], 0.0, atol=1e-6)
+    np.testing.assert_allclose(chol[:, 0], chol[:, 2], atol=1e-5)
+    assert (chol[:, 0] >= 0.7 - 1e-6).all()
 
 
 def test_adaptive_beats_uniform_short_fit():
