@@ -68,7 +68,7 @@ def adaptive_init_xyz(key: jax.Array, gt_image: jnp.ndarray, n: int,
 
 
 def adaptive_init_sigma(gt_image: jnp.ndarray, xyz_atanh: jnp.ndarray,
-                        n: int, H: int, W: int, coef: float = 0.5,
+                        n: int, H: int, W: int, coef: float = 0.35,
                         power: float = 0.5, mix: float = 0.3,
                         smin: float = 0.7, smax: float = 12.0
                         ) -> jnp.ndarray:
@@ -76,8 +76,9 @@ def adaptive_init_sigma(gt_image: jnp.ndarray, xyz_atanh: jnp.ndarray,
     point spacing under the sampling density (lambda = n * p points per
     pixel^2, spacing = 1/sqrt(lambda)) — large blobs in flat regions, ~1 px
     at edges. The reference inits every gaussian at sigma ~ 1 px
-    (rand + 0.5 bound, gaussianimage_cholesky.py:32); matching the local
-    spacing instead was worth +2.4 dB at 2500 iters on the flower proxy
+    (rand + 0.5 bound, gaussianimage_cholesky.py:32). coef swept on the
+    flower proxy at 20k iters: 0.35 -> 38.05 dB, 0.5 -> 37.71,
+    0.75 -> 37.15, 1.0 -> 35.63, position-only baseline 37.35
     (results/init_ab/). Clipped to [smin, smax] so no gaussian starts
     degenerate or absurdly wide."""
     p = gradient_density(gt_image, H, W, power=power, mix=mix)
