@@ -87,6 +87,10 @@ class GaussianModelBase:
     # on iteration/key/extra (e.g. wMask's gumbel mask) must opt out
     fused_l2 = True
 
+    # error-driven relocation support (core/reseed.py): models that opt in
+    # provide importance(params) and relocated(params, victims, ...)
+    reseed_ok = False
+
     def __init__(self, config: ModelConfig):
         self.cfg = config
 

@@ -79,6 +79,28 @@ class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
             params.update(self.quantize_param_init())
         return params
 
+    # -- reseeding hooks (core/reseed.py) ---------------------------------
+    reseed_ok = True
+
+    def importance(self, params) -> jnp.ndarray:
+        """[N] contribution proxy: color energy x footprint area
+        (|L11 * L22| = sqrt(det cov))."""
+        l = params["_cholesky"]
+        area = jnp.abs((l[:, 0] + CHOLESKY_BOUND[0])
+                       * (l[:, 2] + CHOLESKY_BOUND[2]))
+        return jnp.abs(params["_features_dc"]).sum(axis=1) * area
+
+    def relocated(self, params, victims, new_xyz, new_colors, sigma):
+        """Rewrite the victims' rows: position/color from the reseed
+        targets, isotropic sigma-px covariance (raw = sigma - bound)."""
+        p = dict(params)
+        p["_xyz"] = p["_xyz"].at[victims].set(new_xyz)
+        p["_features_dc"] = p["_features_dc"].at[victims].set(new_colors)
+        chol = jnp.stack([sigma - CHOLESKY_BOUND[0], jnp.zeros_like(sigma),
+                          sigma - CHOLESKY_BOUND[2]], axis=1)
+        p["_cholesky"] = p["_cholesky"].at[victims].set(chol)
+        return p
+
     # quantization hooks (QuantizeMixin)
     def _uq_channels(self):
         return {"cholesky": 3}

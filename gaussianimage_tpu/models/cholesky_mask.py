@@ -48,6 +48,10 @@ class GaussianImageCholeskyMask(GaussianImageCholesky):
     # the learned mask modulates opacity; the fused prep kernel (opacity
     # hardcoded 1) would silently drop it — keep the generic paths
     fused_prep_ok = False
+    # no reseeding: relocation fights the sparsity objective (the mask is
+    # learning to KILL low-importance points, not move them), and victims'
+    # _mask_logits rows would need re-opening
+    reseed_ok = False
     name = "GaussianImage_Cholesky_wMask"
 
     @property

@@ -59,6 +59,25 @@ class GaussianImageRS(QuantizeMixin, GaussianModelBase):
             params.update(self.quantize_param_init())
         return params
 
+    # -- reseeding hooks (core/reseed.py) ---------------------------------
+    reseed_ok = True
+
+    def importance(self, params) -> jnp.ndarray:
+        """[N] contribution proxy: color energy x footprint area
+        (|sx * sy| = sqrt(det cov))."""
+        s = jnp.abs(params["_scaling"] + SCALING_BOUND)
+        return (jnp.abs(params["_features_dc"]).sum(axis=1)
+                * s[:, 0] * s[:, 1])
+
+    def relocated(self, params, victims, new_xyz, new_colors, sigma):
+        p = dict(params)
+        p["_xyz"] = p["_xyz"].at[victims].set(new_xyz)
+        p["_features_dc"] = p["_features_dc"].at[victims].set(new_colors)
+        scal = jnp.stack([sigma - SCALING_BOUND[0],
+                          sigma - SCALING_BOUND[1]], axis=1)
+        p["_scaling"] = p["_scaling"].at[victims].set(scal)
+        return p
+
     # quantization hooks (QuantizeMixin). Note the reference quantizes raw
     # _scaling but the *activated* rotation (gaussianimage_rs.py:50-52,100-102)
     def _uq_channels(self):

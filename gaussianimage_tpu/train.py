@@ -146,6 +146,24 @@ class SimpleTrainer2d:
             lambda st, gt, key, start: self.model.train_chunk(
                 st, gt, key, start, self.chunk_size),
             donate_argnums=(0,))
+        # error-driven relocation rounds (core/reseed.py, pure addition over
+        # the reference): on by default for reseed-capable models on fresh
+        # (non-warm-start) fits; --no_reseed restores reference behavior
+        self._reseed_iters = ()
+        if (self.model.reseed_ok and model_path is None
+                and not bool(getattr(args, "no_reseed", False))):
+            from gaussianimage_tpu.core.reseed import (default_schedule,
+                                                       reseed_state)
+            rounds = int(getattr(args, "reseed_rounds", 6) or 0)
+            frac = float(getattr(args, "reseed_frac", 0.05) or 0.0)
+            if rounds > 0 and frac > 0:
+                self._reseed_iters = default_schedule(iterations,
+                                                      rounds=rounds)
+                self._reseed_seed = seed
+                self._reseed_fn = jax.jit(
+                    lambda st, gt, key: reseed_state(
+                        self.model, st, gt, key, frac=frac),
+                    donate_argnums=(0,))
         # eval renders use a huge iteration so phase-scheduled models (wMask)
         # take their deterministic branch
         self._render_fn = jax.jit(
@@ -235,7 +253,19 @@ class SimpleTrainer2d:
         pbar = tqdm(total=self.iterations, initial=it, desc=self.image_name,
                     unit="it", dynamic_ncols=True,
                     disable=not sys.stderr.isatty())
+        # relocation rounds fire at the first chunk boundary >= each
+        # scheduled iteration; keys fold the SEED and the boundary (not the
+        # evolving chunk key), so --resume (always at a boundary) replays
+        # the same rounds the uninterrupted run would have executed
+        cs = self.chunk_size
+        reseed_bounds = sorted({-(-r // cs) * cs for r in self._reseed_iters
+                                if -(-r // cs) * cs < self.iterations})
         while it < self.iterations:
+            if it in reseed_bounds:
+                self.state = self._reseed_fn(
+                    self.state, self.gt_image,
+                    jax.random.fold_in(
+                        jax.random.PRNGKey(self._reseed_seed + 17), it))
             tracing = profile_dir and (
                 it == self.chunk_size
                 or (it == 0 and self.iterations <= self.chunk_size))
@@ -427,6 +457,11 @@ def parse_args(argv):
     p.add_argument("--reg_type", type=str, default="kl")
     p.add_argument("--target_sparsity", type=float, default=0.7)
     p.add_argument("--lambda_reg", type=float, default=0.005)
+    p.add_argument("--no_reseed", action="store_true",
+                   help="disable error-driven relocation rounds "
+                        "(core/reseed.py; reference behavior)")
+    p.add_argument("--reseed_rounds", type=int, default=6)
+    p.add_argument("--reseed_frac", type=float, default=0.05)
     p.add_argument("--init_mask_logit", type=float, default=2.0)
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--use_score", action="store_true")
