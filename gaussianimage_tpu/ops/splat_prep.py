@@ -24,6 +24,13 @@ parity is pinned by tests/test_splat_prep.py against the reference chain.
 
 Decode/inference only — no VJP (training keeps the autodiff projection +
 custom-vjp rasterizer). Opt in via RasterizeConfig.fused_prep.
+
+Parity note: vs the generic path the fused image differs only at isolated
+pixels where an instance sits exactly on a binning boundary (fp
+reassociation flips a ceil/clip in the last ulp, so one gaussian tail
+drops in/out of a tile). Measured on the committed china@10k artifact
+(CPU interpret): mean |err| 5.4e-8, 10 pixels > 1e-4, path-vs-path PSNR
+112.5 dB.
 """
 
 from __future__ import annotations
