@@ -44,10 +44,11 @@ from jax.experimental import pallas as pl
 
 from gaussianimage_tpu.ops import stream_common as sc
 
-_BLK_CAP = 16384  # max gaussians per grid step: the whole flagship scene
-#   fits one step (VMEM at 16k rows: one-hot [16k,64] 4.2 MB + outputs
-#   ~2 MB), so the kernel pays ONE grid step of launch/DMA overhead; larger
-#   N splits into ceil((N+1)/16k) steps
+_BLK_CAP = 1024  # max gaussians per grid step. Mosaic pads the lane dim of
+#   every [blk, M<=128] temporary to 128 lanes, so the ~10 live temporaries
+#   of _project_pack_bin cost blk*128*4 B each — at 16k rows that is ~60 MB
+#   of scoped VMEM (observed on-TPU OOM vs the 16 MB limit); 1024 rows keep
+#   the stack under ~4 MB and the grid still runs inside ONE kernel launch
 _INT_MAX = np.int32(2 ** 31 - 1)
 
 
@@ -101,7 +102,9 @@ def _project_pack_bin(row, valid, means, s11, s12, s22, colors,
               & (y + ry >= 0) & (y - ry < tiles_y * tile_px))
     span_w = x1 - x0 + 1.0                                    # [blk, 1] f32
     area = span_w * (y1 - y0 + 1.0)
-    jj = jax.lax.broadcasted_iota(jnp.float32, (blk, M), 1)
+    # int iota then cast: Mosaic rejects tpu.iota with a float result type
+    # (interpret mode tolerates it — this is an on-TPU-only constraint)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (blk, M), 1).astype(jnp.float32)
     jy = jnp.floor(jj / span_w)          # exact for small ints (see tests)
     jx = jj - jy * span_w
     tile = (y0 + jy) * tiles_x + (x0 + jx)                    # [blk, M] f32
