@@ -73,6 +73,60 @@ def comm_accounting(H: int, W: int, num_points: int, param_cols: int,
     return out
 
 
+# --- v5p projection -------------------------------------------------------
+# The one scaling calculation this single-chip environment CAN do honestly:
+# convert the analytic per-step wire bytes into a predicted efficiency on a
+# real v5p slice, against the MEASURED single-chip step time.
+#
+# Hardware model (scaling-book numbers for TPU v5p):
+#   - ICI one-way bandwidth per link  W_one = 9e10 B/s; each torus axis has
+#     2 links (both ring directions), so per-chip egress bandwidth along the
+#     axis a collective rides is W_bidi = 1.8e11 B/s.
+#   - comm_accounting()'s wire_bytes are per-chip EGRESS bytes for the
+#     bidirectional-ring collective (they already carry the 2(n-1)/n /
+#     (n-1)/n factors), so  t_comm = wire_bytes / W_bidi.
+#   - gauss-axis psum and tile-axis grad combine ride DIFFERENT mesh axes
+#     (different torus dimensions) and serialize with compute in the
+#     no-overlap bound; in the overlap bound the grad combine hides behind
+#     the backward pass (it is per-parameter, available as soon as each
+#     grad leaf is produced) and only the render psum stays on the critical
+#     path.
+#
+# Compute model: measured single-chip step time T1 at FLAGSHIP scale
+# (768x512, 10k gaussians — BENCH fit_iters_per_s), perfectly divided by
+# the compute-axis product (the kernel is embarrassingly tile/gauss
+# parallel; per-shard imbalance is ignored, making this an UPPER bound on
+# compute speedup and the comm term the modeled loss).
+V5P_ICI_BIDI_BYTES_PER_S = 1.8e11
+FLAGSHIP = {"H": 512, "W": 768, "N": 10000, "param_cols": 8,
+            # BENCH_r03 fit_iters_per_s = 650.5 on the real v5e chip
+            "t1_step_s": 1.0 / 650.5}
+
+
+def v5p_projection(axes: dict, shard_opt: bool = False,
+                   flagship: dict = FLAGSHIP) -> dict:
+    """Predicted strong-scaling efficiency on a v5p slice for this mesh at
+    flagship scale: eff = T1/n / t_step_predicted."""
+    n = int(np.prod([v for v in axes.values()]))
+    comm = comm_accounting(flagship["H"], flagship["W"], flagship["N"],
+                           flagship["param_cols"], axes, shard_opt)
+    t_compute = flagship["t1_step_s"] / n
+    t_render_psum = comm["gauss_psum_wire_bytes"] / V5P_ICI_BIDI_BYTES_PER_S
+    t_grad = comm["tile_grad_wire_bytes"] / V5P_ICI_BIDI_BYTES_PER_S
+    t_no_overlap = t_compute + t_render_psum + t_grad
+    # overlap bound: grad combine hidden behind backward compute
+    t_overlap = max(t_compute, t_grad) + t_render_psum
+    return {
+        "flagship_wire_bytes_per_step": comm["total_wire_bytes_per_step"],
+        "t_compute_us": round(t_compute * 1e6, 2),
+        "t_comm_us": round((t_render_psum + t_grad) * 1e6, 2),
+        "efficiency_no_overlap": round(
+            (flagship["t1_step_s"] / n) / t_no_overlap, 3),
+        "efficiency_grad_overlap": round(
+            (flagship["t1_step_s"] / n) / t_overlap, 3),
+    }
+
+
 def _time_steps(step, params, opt_state, gt, n_steps, reps=3):
     out = step(params, opt_state, gt, jnp.asarray(1))
     jax.block_until_ready(out[0])  # warmup + compile
@@ -118,7 +172,8 @@ def run(n_steps: int = 20, H: int = 256, W: int = 256, N: int = 4096):
         return {"devices": nd, "mesh": dict(axes),
                 "pixels_per_s": round(px, 1),
                 "comm_per_step": comm_accounting(
-                    H, W, N, PARAM_COLS, axes, shard_opt)}
+                    H, W, N, PARAM_COLS, axes, shard_opt),
+                "predicted_v5p_efficiency": v5p_projection(axes, shard_opt)}
 
     strong, strong_tile, weak = [], [], []
     for nd in sizes:
@@ -167,5 +222,5 @@ if __name__ == "__main__":
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
     res = run()
-    with open("SCALING_r03.json", "w") as fh:
+    with open(os.environ.get("SCALING_OUT", "SCALING_r04.json"), "w") as fh:
         json.dump(res, fh, indent=1)
