@@ -99,7 +99,18 @@ def decompress_wo_ec_batch(model, params_b, extra_b, enc_b
     — the whole-dataset decode path. Returns {"render": [B, 3, H, W]}.
 
     ``model`` must be a quantize=True model; params/extra/enc carry each
-    frame's quantizer state, VQ codebooks, and code arrays."""
+    frame's quantizer state, VQ codebooks, and code arrays.
+
+    Models with a ``fused_decode_batch`` hook (cholesky.py) and
+    RasterizeConfig.fused_prep get the whole dequantize + projection +
+    packing + binning-key glue as ONE Pallas pass over all B frames
+    (ops/splat_prep.py _batch_decode_kernel); otherwise the generic
+    vmapped-dequantize + stacked-rasterize path runs."""
+    fused = getattr(model, "fused_decode_batch", None)
+    if fused is not None:
+        out = fused(params_b, extra_b, enc_b)
+        if out is not None:
+            return out
 
     def one(p, ex, e):
         means, geo, colors = model.dequantize_wo_ec(p, ex, e)

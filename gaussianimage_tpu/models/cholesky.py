@@ -153,6 +153,37 @@ class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
         img = jnp.clip(img, 0.0, 1.0)
         return {"render": img[None]}
 
+    def fused_decode_batch(self, params_b, extra_b, enc_b):
+        """Batched decode (batched.py contract: leaves carry a leading [B]
+        frame dim) through ONE fused prep pass + one stacked rasterize —
+        the whole-dataset serving path with zero per-frame XLA glue.
+        Returns None when unsupported; the caller then falls back to the
+        generic vmapped-dequantize + stacked-rasterize path."""
+        from gaussianimage_tpu.batched import _batched_raster_config
+        from gaussianimage_tpu.ops.splat_prep import (
+            fused_decode_cholesky_batch, fused_decode_supported)
+        cfg = self.cfg
+        xyz = enc_b["xyz"]
+        B, N = xyz.shape[0], xyz.shape[1]
+        bcfg = _batched_raster_config(self, B)
+        if (not self.fused_prep_ok or cfg.H % bcfg.tile_px
+                or not fused_decode_supported(B * N, cfg.H * B, cfg.W,
+                                              bcfg)):
+            return None
+        embed = extra_b["vq"].embed  # [B, nq, K, 3]
+        comb = (embed[:, 0][:, :, None, :] + embed[:, 1][:, None, :, :]
+                ).reshape(B, -1, embed.shape[-1])
+        img, _, aux = fused_decode_cholesky_batch(
+            jnp.asarray(xyz, jnp.float32),
+            jnp.asarray(enc_b["quant_cholesky"]),
+            params_b["cholesky_quant_scale"],
+            params_b["cholesky_quant_beta"],
+            CHOLESKY_BOUND, jnp.asarray(enc_b["feature_dc_index"]), comb,
+            cfg.H, cfg.W, bcfg)
+        img = jnp.clip(img, 0.0, 1.0)
+        img = img.reshape(3, B, cfg.H, cfg.W).transpose(1, 0, 2, 3)
+        return {"render": img, "raster_aux": aux}
+
     # activations ----------------------------------------------------------
     @staticmethod
     def get_xyz(params):

@@ -35,6 +35,7 @@ drops in/out of a tile). Measured on the committed china@10k artifact
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -60,15 +61,24 @@ def _block_rows(N: int) -> int:
 def _project_pack_bin(row, valid, means, s11, s12, s22, colors,
                       feat_ref, keys_ref, stats_ref, *,
                       N, H, W, tile_px, tiles_x, tiles_y, M, id_bits,
-                      q_cut, blk):
+                      q_cut, blk, y_off=None, row_lo=None, row_hi=None):
     """Shared core: pixel mapping, covariance -> conic/radii, premultiplied
     feature rows (opacity == 1 on these models), packed binning keys and
     truncation accounting. Covariance entries (s11, s12, s22) come from the
     per-parameterization front (Cholesky or scale-rot). All math replicates
     core/covariance.py + rasterize_sum._axis_radii +
-    tiles._expand_instances op-for-op."""
+    tiles._expand_instances op-for-op.
+
+    Batched stacking (``y_off``/``row_lo``/``row_hi``, each [blk, 1] f32):
+    ``H`` is then the PER-FRAME height used for the NDC->pixel mapping,
+    ``y_off`` shifts each row into its frame's band on the tall canvas,
+    and the tile-row clips use the per-row band bounds instead of
+    [0, tiles_y-1] — exactly tiles._expand_instances' ``band`` semantics
+    (the ``inside`` test stays against the full canvas, like there)."""
     x = 0.5 * ((means[:, 0:1] + 1.0) * W - 1.0)
     y = 0.5 * ((means[:, 1:2] + 1.0) * H - 1.0)
+    if y_off is not None:
+        y = y + y_off
     det = s11 * s22 - s12 * s12
     inv_det = 1.0 / jnp.maximum(det, 1e-6)
     ca = s22 * inv_det
@@ -93,10 +103,12 @@ def _project_pack_bin(row, valid, means, s11, s12, s22, colors,
     feat_ref[...] = jnp.where(valid, feat, 0.0)
 
     # ---- binning keys (_expand_instances + packed key, slot-minor) -------
+    lo = jnp.float32(0.0) if row_lo is None else row_lo
+    hi = jnp.float32(tiles_y - 1) if row_hi is None else row_hi
     x0 = jnp.clip(jnp.floor((x - rx) / tile_px), 0, tiles_x - 1)
     x1 = jnp.clip(jnp.floor((x + rx) / tile_px), 0, tiles_x - 1)
-    y0 = jnp.clip(jnp.floor((y - ry) / tile_px), 0, tiles_y - 1)
-    y1 = jnp.clip(jnp.floor((y + ry) / tile_px), 0, tiles_y - 1)
+    y0 = jnp.clip(jnp.floor((y - ry) / tile_px), lo, hi)
+    y1 = jnp.clip(jnp.floor((y + ry) / tile_px), lo, hi)
     inside = ((rx > 0) & (ry > 0)
               & (x + rx >= 0) & (x - rx < tiles_x * tile_px)
               & (y + ry >= 0) & (y - ry < tiles_y * tile_px))
@@ -154,6 +166,59 @@ def _decode_kernel(xyz_ref, codes_ref, idx_ref, scale_ref, beta_ref,
         l21 * l21 + l22 * l22, colors, feat_ref, keys_ref, stats_ref,
         N=N, H=H, W=W, tile_px=tile_px, tiles_x=tiles_x, tiles_y=tiles_y,
         M=M, id_bits=id_bits, q_cut=q_cut, blk=blk)
+
+
+def _batch_decode_kernel(xyz_ref, codes_ref, idx_ref, scale_ref, beta_ref,
+                         embed_ref, feat_ref, keys_ref, stats_ref, *,
+                         N, H, W, tile_px, tiles_x, tiles_y, M, id_bits,
+                         q_cut, bound, blk, n_per, b):
+    """Batched Cholesky decode front: B frames' code arrays flattened to
+    [B*n_per, .] rows through ONE prep pass. Per-frame side info (quantizer
+    scale/beta [B, 3], combined VQ codebooks [B*64, 3]) is selected by each
+    row's frame id via exact one-hot matmuls (HIGHEST keeps f32 values
+    bit-identical to a gather). Keys land on the tall stacked canvas with
+    per-frame tile-row bands — batched.py's vertical stacking with exact
+    containment, but with zero XLA-side per-frame glue."""
+    pid = pl.program_id(0)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + pid * blk)
+    valid = row < N
+    # frame id by comparison ladder (exact; avoids in-kernel int division)
+    frame = jnp.zeros_like(row)
+    for f in range(1, b):
+        frame = frame + (row >= f * n_per).astype(jnp.int32)
+    means = jnp.tanh(xyz_ref[...])
+    fo = (frame == jax.lax.broadcasted_iota(jnp.int32, (blk, b), 1)
+          ).astype(jnp.float32)                                # [blk, B]
+
+    def sel(ref):
+        return jax.lax.dot_general(
+            fo, ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)               # [blk, 3]
+
+    chol = (codes_ref[...].astype(jnp.float32) * sel(scale_ref)
+            + sel(beta_ref))
+    b0, b1, b2 = (float(bound[0]), float(bound[1]), float(bound[2]))
+    comb = (frame * 64 + idx_ref[:, 0:1] * 8 + idx_ref[:, 1:2])  # [blk, 1]
+    oh = (comb == jax.lax.broadcasted_iota(jnp.int32, (blk, 64 * b), 1))
+    colors = jax.lax.dot_general(
+        oh.astype(jnp.float32), embed_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                   # [blk, 3]
+    h_frame = H // b
+    rows_pf = tiles_y // b
+    ff = frame.astype(jnp.float32)
+    l11 = chol[:, 0:1] + b0
+    l21 = chol[:, 1:2] + b1
+    l22 = chol[:, 2:3] + b2
+    _project_pack_bin(
+        row, valid, means, l11 * l11, l11 * l21,
+        l21 * l21 + l22 * l22, colors, feat_ref, keys_ref, stats_ref,
+        N=N, H=h_frame, W=W, tile_px=tile_px, tiles_x=tiles_x,
+        tiles_y=tiles_y, M=M, id_bits=id_bits, q_cut=q_cut, blk=blk,
+        y_off=ff * float(h_frame), row_lo=ff * float(rows_pf),
+        row_hi=ff * float(rows_pf) + float(rows_pf - 1))
 
 
 def _raw_kernel(xyz_ref, chol_ref, colors_ref, feat_ref, keys_ref,
@@ -272,6 +337,54 @@ def fused_raw_prep_cholesky(
          colors.astype(jnp.float32)),
         [_row_spec(2), _row_spec(3), _row_spec(3)],
         xyz.shape[0], H, W, cfg, m_span, bound)
+
+
+def fused_prep_cholesky_batch(
+    enc_xyz: jnp.ndarray,        # [B*N, 2] f32 (f16 codes, cast at call)
+    chol_codes: jnp.ndarray,     # [B*N, 3] int codes
+    quant_scale: jnp.ndarray,    # [B, 3] per-frame learned scale
+    quant_beta: jnp.ndarray,     # [B, 3]
+    bound: np.ndarray,           # [3] static cholesky bound offset
+    vq_idx: jnp.ndarray,         # [B*N, 2] int32 residual-VQ indices
+    embed_combined: jnp.ndarray,  # [B*64, 3] per-frame combined codebooks
+    B: int, H_total: int, W: int, cfg, m_span: int,
+):
+    """Batched Cholesky decode front over the H_total = B*H stacked canvas."""
+    n_tot = enc_xyz.shape[0]
+    kern = functools.partial(_batch_decode_kernel, n_per=n_tot // B, b=B)
+    return _run_prep(
+        kern,
+        (enc_xyz.astype(jnp.float32), chol_codes.astype(jnp.int32),
+         vq_idx.astype(jnp.int32),
+         quant_scale.reshape(B, 3).astype(jnp.float32),
+         quant_beta.reshape(B, 3).astype(jnp.float32),
+         embed_combined.astype(jnp.float32)),
+        [_row_spec(2), _row_spec(3), _row_spec(2),
+         _const_spec(B, 3), _const_spec(B, 3), _const_spec(64 * B, 3)],
+        n_tot, H_total, W, cfg, m_span, bound)
+
+
+def fused_decode_cholesky_batch(enc_xyz_b, chol_codes_b, scale_b, beta_b,
+                                bound, vq_idx_b, embed_b, H: int, W: int,
+                                cfg):
+    """Full fused BATCHED decode: one prep kernel over B stacked frames +
+    one sort-binned forward rasterize on the [3, B*H, W] canvas. Inputs
+    carry a leading [B] frame dim (embed_b [B, 64, 3]); ``cfg`` is the
+    batched raster config (instance budget scaled to B*N). Returns
+    (img [3, B*H, W], alpha [B*H, W], aux) — unclamped, caller clamps and
+    unstacks."""
+    from gaussianimage_tpu.ops.rasterize_sum import rasterize_from_keys_chw
+
+    B, Np = enc_xyz_b.shape[0], enc_xyz_b.shape[1]
+    N = B * Np
+    I0, m_span, aligned = sc.stream_caps(N, cfg)
+    assert not aligned, "fused batched decode prep is flat-stream only"
+    feat, keys, trunc, n_total = fused_prep_cholesky_batch(
+        enc_xyz_b.reshape(N, 2), chol_codes_b.reshape(N, 3),
+        scale_b, beta_b, bound, vq_idx_b.reshape(N, 2),
+        embed_b.reshape(B * 64, 3), B, H * B, W, cfg, m_span)
+    return rasterize_from_keys_chw(feat, keys, trunc, n_total, H * B, W,
+                                   cfg, I0)
 
 
 def _rs_cov(scaling, theta):

@@ -88,3 +88,44 @@ def test_blockize_roundtrip():
         np.asarray(blocks[2]), np.asarray(g[128:192]).T)
     back = sc.unblockize_stream(blocks, 64, interpret=True)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(g))
+
+
+def test_decode_batch_fused_matches_generic():
+    """The one-pass batched fused prep (splat_prep._batch_decode_kernel)
+    must reproduce the generic batched decode path within the fused-prep
+    boundary-ulp envelope, per-frame side info (quantizer state, VQ
+    codebooks) correctly selected by frame."""
+    m_ref = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                       quantize=True)
+    m_fused = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                         quantize=True,
+                         raster=RasterizeConfig(fused_prep=True))
+    states, encs = [], []
+    for s in range(B):
+        gt = jnp.asarray(synthetic_image(H, W, seed=s))  # distinct scenes
+        st = m_ref.init_state(jax.random.PRNGKey(s))
+        st = m_ref.init_quantizer_data(st)
+        st, _ = m_ref.train_chunk(st, gt, jax.random.PRNGKey(s + 7),
+                                  jnp.asarray(1), 20)
+        states.append(st)
+        encs.append(jax.tree.map(jnp.asarray,
+                                 m_ref.compress_wo_ec(st.params, st.extra)))
+    pb = jax.tree.map(lambda *xs: jnp.stack(xs), *[s.params for s in states])
+    eb = jax.tree.map(lambda *xs: jnp.stack(xs), *[s.extra for s in states])
+    encb = jax.tree.map(lambda *xs: jnp.stack(xs), *encs)
+
+    # dispatcher picks the fused kernel (hook returns non-None)
+    assert m_fused.fused_decode_batch(pb, eb, encb) is not None
+    assert m_ref.fused_decode_batch(pb, eb, encb) is None  # flag off
+
+    out_ref = batched.decompress_wo_ec_batch(m_ref, pb, eb, encb)
+    out_fused = batched.decompress_wo_ec_batch(m_fused, pb, eb, encb)
+    np.testing.assert_allclose(np.asarray(out_fused["render"]),
+                               np.asarray(out_ref["render"]),
+                               atol=2e-5, rtol=0)
+    # and against the single-frame generic decode (band containment)
+    for b in range(B):
+        ref = m_ref.decompress_wo_ec(states[b].params, states[b].extra,
+                                     encs[b])["render"][0]
+        np.testing.assert_allclose(np.asarray(out_fused["render"][b]),
+                                   np.asarray(ref), atol=2e-5, rtol=0)
