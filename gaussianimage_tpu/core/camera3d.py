@@ -13,9 +13,16 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from gaussianimage_tpu.core.covariance import conic_from_cov2d, radius_from_cov2d
+
+# XLA's dot/einsum default on TPU is bf16 accumulation for f32 inputs; at
+# camera-space coordinate magnitudes that rounds positions/covariances by
+# ~2^-8 relative — visible pixel error and a training-quality tax. Every
+# contraction here pins full f32.
+_HI = jax.lax.Precision.HIGHEST
 
 
 def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
@@ -49,11 +56,12 @@ def project_gaussians(
     S = scales * glob_scale
     # Sigma3D = (R S) (R S)^T
     M = R_g * S[:, None, :]
-    cov3d = jnp.einsum("nij,nkj->nik", M, M)
+    cov3d = jnp.einsum("nij,nkj->nik", M, M, precision=_HI)
 
     Rv = viewmat[:3, :3]
     tv = viewmat[:3, 3]
-    t = means3d @ Rv.T + tv  # camera-space positions [N, 3]
+    # camera-space positions [N, 3]
+    t = jnp.matmul(means3d, Rv.T, precision=_HI) + tv
     tz = jnp.maximum(t[:, 2], clip_near)
     in_front = t[:, 2] > clip_near
 
@@ -66,8 +74,8 @@ def project_gaussians(
         jnp.stack([fx / tz, zeros, -fx * t[:, 0] / (tz * tz)], -1),
         jnp.stack([zeros, fy / tz, -fy * t[:, 1] / (tz * tz)], -1),
     ], axis=1)
-    JW = jnp.einsum("nij,jk->nik", J, Rv)
-    cov2d_m = jnp.einsum("nij,njk,nlk->nil", JW, cov3d, JW)
+    JW = jnp.einsum("nij,jk->nik", J, Rv, precision=_HI)
+    cov2d_m = jnp.einsum("nij,njk,nlk->nil", JW, cov3d, JW, precision=_HI)
     cov2d = jnp.stack([cov2d_m[:, 0, 0] + 0.3, cov2d_m[:, 0, 1],
                        cov2d_m[:, 1, 1] + 0.3], -1)
 

@@ -64,7 +64,11 @@ class Gaussian3D(GaussianModelBase):
             [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 8.0], [0, 0, 0, 1.0]],
             np.float32)
         self.translation = np.asarray([[0.0, 0.0, -8.0]], np.float32)
-        self.blend_cfg = BlendConfig(tile_px=32, max_tiles_per_gauss=36)
+        # fused_prep rides the shared RasterizeConfig flag so
+        # make_model("3DGS", raster=RasterizeConfig(fused_prep=True))
+        # switches the serving render to the one-pass prep kernel
+        self.blend_cfg = BlendConfig(tile_px=32, max_tiles_per_gauss=36,
+                                     fused_prep=config.raster.fused_prep)
 
     def init_params(self, key: jax.Array, gt_image=None
                     ) -> Dict[str, jnp.ndarray]:
@@ -131,6 +135,52 @@ class Gaussian3D(GaussianModelBase):
             "xys": xys,
             "raster_aux": aux,
         }
+
+    def render_fast(self, params):
+        """Serving render via the fused 3DGS prep kernel when enabled
+        (BlendConfig.fused_prep + flat-stream packed-key regime): depth
+        sort, then ONE Pallas pass for quat->R, EWA projection, SH, opacity
+        and binning keys over the depth-ordered rows, then the sort-binned
+        blend kernel — same image as render() within the fused-prep
+        boundary-ulp envelope (tests/test_gs3d.py)."""
+        from gaussianimage_tpu.ops.rasterize_blend import (
+            _depth_order, rasterize_blend_from_keys_chw)
+        from gaussianimage_tpu.ops.splat_prep3d import (fused_blend_supported,
+                                                        fused_prep_blend3d)
+        from gaussianimage_tpu.ops import stream_common as sc
+
+        cfg = self.cfg
+        N = params["_xyz"].shape[0]
+        bcfg = self.blend_cfg
+        if not fused_blend_supported(N, cfg.H, cfg.W, bcfg):
+            return super().render_fast(params)
+        # depth exactly as project_gaussians computes t[:, 2] (same HIGHEST
+        # matmul — order parity with the generic path)
+        Rv = self.viewmat[:3, :3]
+        tv = self.viewmat[:3, 3]
+        t = jnp.matmul(params["_xyz"], Rv.T,
+                       precision=jax.lax.Precision.HIGHEST) + tv
+        order = _depth_order(t[:, 2])
+
+        def take(x):
+            return jnp.take(x, order, axis=0)
+
+        if cfg.sh_degree > 0:
+            coeffs = self.get_features(params).reshape(N, -1)  # [N, 3K]
+        else:
+            coeffs = params["_features_dc"][:, 0, :]
+        I0, m_span, _ = sc.stream_caps(N, bcfg)
+        feat, keys, trunc, n_total = fused_prep_blend3d(
+            take(params["_xyz"]), take(params["_scaling"]),
+            take(params["_rotation"]), take(params["_opacity"]),
+            take(coeffs), self.viewmat, self.focal, self.focal,
+            cfg.W / 2, cfg.H / 2, self.translation, cfg.sh_degree,
+            cfg.H, cfg.W, bcfg, m_span)
+        img, _, _ = rasterize_blend_from_keys_chw(
+            feat, keys, trunc, n_total, cfg.H, cfg.W,
+            jnp.ones((3,), jnp.float32), bcfg, I0)
+        img = jnp.minimum(img, 1.0)  # reference clamps max only (:120)
+        return img[None]
 
     def forward(self, params, **kw):
         return self.render(params, **kw)

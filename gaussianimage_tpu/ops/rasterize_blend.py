@@ -60,6 +60,9 @@ class BlendConfig(NamedTuple):
     #   uniform); the forward records how many chunks it consumed and the
     #   backward walks exactly those. 0 disables.
     interpret: Optional[bool] = None
+    fused_prep: bool = False  # inference: ONE Pallas pass for projection +
+    #   SH + packing + binning keys (ops/splat_prep3d.py) instead of the
+    #   [N]-column XLA fusions; flat-stream packed-key regime only
     # XLA-oracle knobs (rasterize_gaussians_blend_xla only)
     max_per_tile: int = 256
     tile_chunk: int = 32
@@ -420,17 +423,28 @@ def rasterize_gaussians_blend(
     """Front-to-back alpha compositing (Pallas). Returns (img [H,W,3],
     alpha [H,W], aux). Differentiable w.r.t. xys/conics/colors/opacities."""
     cfg = config
+    N = xys.shape[0]
     if background is None:
         background = jnp.zeros((3,), jnp.float32)
 
+    # Depth ordering is applied ONCE to the packed [N+1, 16] feature rows
+    # (one row gather; its VJP scatters gradients back), and the binning
+    # geometry is reordered the same way — the stream's ranks then index
+    # the ordered rows directly. The alternative (prepare_stream's
+    # order= remap) materializes ordered[gids], an [I]-length int gather
+    # that measured ~265 us/frame at I=40k on v5e (TPU 1-D gathers pay
+    # per element, not per row).
     order = _depth_order(jax.lax.stop_gradient(depths))
+    order_pad = jnp.concatenate([order, jnp.asarray([N], jnp.int32)])
     sp = sc.prepare_stream(
-        jax.lax.stop_gradient(xys).astype(jnp.float32),
-        jax.lax.stop_gradient(radii).astype(jnp.float32),
-        H, W, cfg, order=order)
+        jnp.take(jax.lax.stop_gradient(xys).astype(jnp.float32), order,
+                 axis=0),
+        jnp.take(jax.lax.stop_gradient(radii).astype(jnp.float32), order,
+                 axis=0),
+        H, W, cfg)
     gids, starts, counts = sp.gids, sp.starts, sp.counts
 
-    feat = sc.pack_feat(xys, conics, colors, opacities)
+    feat = sc.pack_feat(xys, conics, colors, opacities)[order_pad]
     # log-space early-stop threshold; 0 disables (log 0 = -inf: the while
     # condition on max(logT) then never trips before the chunk count does)
     log_stop = (float(np.log(cfg.early_stop_T)) if cfg.early_stop_T > 0
@@ -446,6 +460,72 @@ def rasterize_gaussians_blend(
     T_real = sp.tiles_x * (-(-H // cfg.tile_px))
     aux = {"n_dropped": sp.n_dropped,
            "max_count": counts[:T_real].max()}
+    return img, alpha, aux
+
+
+def rasterize_blend_from_keys_chw(
+    feat: jnp.ndarray,
+    keys: jnp.ndarray,
+    trunc: jnp.ndarray,
+    n_total: jnp.ndarray,
+    H: int,
+    W: int,
+    background: Optional[jnp.ndarray],
+    config: BlendConfig,
+    max_instances: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Inference blend from PRE-PACKED inputs (ops/splat_prep3d.py fused
+    prep): ``feat`` [N+1, 16] DEPTH-ORDERED rows, ``keys`` packed
+    (tile << id_bits) | rank sort keys. One non-stable sort + compare-reduce
+    bounds + stream gather + forward kernel; returns CHANNEL-MAJOR
+    (img [3, H, W], alpha [H, W], aux) — no HWC round trip (the model's
+    [H,W,3]->[3,H,W] epilogue would cancel it anyway). Not differentiable."""
+    cfg = config
+    if background is None:
+        background = jnp.zeros((3,), jnp.float32)
+    N = feat.shape[0] - 1
+    tp = cfg.tile_px
+    TB = cfg.tiles_per_step
+    tiles_x = -(-W // tp)
+    tiles_y = -(-H // tp)
+    T_real = tiles_x * tiles_y
+    T = T_real + ((-T_real) % TB)
+    I = max_instances
+    id_bits = max(int(N - 1).bit_length(), 1)
+    assert (T_real + 1) * (1 << id_bits) < 2 ** 31, (
+        "rasterize_blend_from_keys_chw requires the packed-key regime")
+
+    keys = jax.lax.optimization_barrier(keys)
+    skey = jnp.sort(keys, stable=False)[:I]
+    srank = (skey & ((1 << id_bits) - 1)).astype(jnp.int32)
+    dead = skey == jnp.int32(2 ** 31 - 1)
+    gids = jnp.where(dead, N, srank)
+    queries = jnp.arange(T_real + 1, dtype=jnp.int32) << id_bits
+    if (T_real + 1) * I <= 32_000_000:
+        bounds = jnp.sum(skey[None, :] < queries[:, None],
+                         axis=1).astype(jnp.int32)
+    else:
+        bounds = jnp.minimum(
+            jnp.searchsorted(skey, queries, method="scan_unrolled"),
+            I).astype(jnp.int32)
+    starts = (jnp.concatenate(
+        [bounds, jnp.full((T - T_real,), bounds[-1], jnp.int32)])
+        if T > T_real else bounds)
+    counts = starts[1:] - starts[:-1]
+
+    log_stop = (float(np.log(cfg.early_stop_T)) if cfg.early_stop_T > 0
+                else float("-inf"))
+    static = (tp, TB, cfg.block_inst, tiles_x, T, sc.use_interpret(cfg),
+              H, W, I, float(cfg.alpha_clip), float(cfg.alpha_min), False,
+              log_stop)
+    gfeat = sc.gather_stream(gids, feat, cfg.block_inst)
+    out_tiled = _blend_fwd_pallas(static, starts, counts, gfeat)
+    full = sc.untile_channels(out_tiled, tp, tiles_x, H, W)
+    rgb, tfin = full[:3], full[3]
+    img = rgb + tfin[None] * background[:, None, None]
+    alpha = 1.0 - tfin
+    n_dropped = (trunc + jnp.maximum(n_total - I, 0)).astype(jnp.int32)
+    aux = {"n_dropped": n_dropped, "max_count": counts[:T_real].max()}
     return img, alpha, aux
 
 

@@ -96,9 +96,24 @@ def _project_pack_bin(row, valid, means, s11, s12, s22, colors,
     rx = jnp.where(live, jnp.minimum(rx, radii), 0.0)
     ry = jnp.where(live, jnp.minimum(ry, radii), 0.0)
 
-    # ---- feature rows (pack_feat premultiply layout; opacity == 1) -------
+    _pack_bin(row, valid, x, y, ca, cb, cc, rx, ry, colors,
+              jnp.ones((blk, 1), jnp.float32), feat_ref, keys_ref,
+              stats_ref, tile_px=tile_px, tiles_x=tiles_x, tiles_y=tiles_y,
+              M=M, id_bits=id_bits, blk=blk, row_lo=row_lo, row_hi=row_hi)
+
+
+def _pack_bin(row, valid, x, y, ca, cb, cc, rx, ry, colors, opac,
+              feat_ref, keys_ref, stats_ref, *, tile_px, tiles_x, tiles_y,
+              M, id_bits, blk, row_lo=None, row_hi=None):
+    """Shared tail of every prep front: feature rows (pack_feat layout —
+    with opacity-premultiplied colors the cm rows of the sum kernel, with
+    raw colors + real opacity the blend kernel's), packed binning keys
+    (tiles._expand_instances semantics) and truncation accounting.
+    ``rx``/``ry`` are the binning bbox half-extents (the sum path's exact
+    q<=q_cut ellipse extents, or the blend path's isotropic radius)."""
+    # ---- feature rows -----------------------------------------------------
     feat = jnp.concatenate(
-        [x, y, ca, cb, cc, colors, jnp.ones((blk, 1), jnp.float32),
+        [x, y, ca, cb, cc, colors, opac,
          jnp.zeros((blk, sc.FW - 9), jnp.float32)], axis=1)
     feat_ref[...] = jnp.where(valid, feat, 0.0)
 
@@ -263,7 +278,7 @@ def _run_prep(kernel_fn, arrays, in_widths, N, H, W, cfg, m_span,
 
     kern = lambda *refs: kernel_fn(  # noqa: E731
         *refs, N=N, H=H, W=W, tile_px=tp, tiles_x=tiles_x, tiles_y=tiles_y,
-        M=M, id_bits=id_bits, q_cut=float(cfg.q_cut),
+        M=M, id_bits=id_bits, q_cut=float(getattr(cfg, "q_cut", 0.0)),
         bound=np.asarray(bound, np.float32), blk=blk)
 
     in_specs = [

@@ -253,3 +253,47 @@ def test_blend_early_stop_matches_and_truncates():
 
     _, img_hard = render_loss(BlendConfig(early_stop_T=0.9), args)
     assert float(jnp.abs(img_hard - img_off).max()) > 0.01
+
+
+def test_render_fast_fused_matches_render():
+    """The fused 3DGS prep (ops/splat_prep3d.py) must reproduce render()
+    within the fused-prep boundary-ulp envelope; with the flag off,
+    render_fast IS render."""
+    from gaussianimage_tpu.models import make_model
+    from gaussianimage_tpu.ops import RasterizeConfig
+    from gaussianimage_tpu.utils.image_io import synthetic_image
+
+    H, W, N = 64, 96, 384
+    gt = jnp.asarray(synthetic_image(H, W, seed=11))
+    m_off = make_model("3DGS", num_points=N, H=H, W=W, loss_type="Fusion2")
+    st = m_off.init_state(jax.random.PRNGKey(5))
+    st, _ = m_off.train_chunk(st, gt, None, jnp.asarray(1), 30)
+    ref = np.asarray(m_off.render(st.params)["render"])
+    np.testing.assert_array_equal(
+        np.asarray(m_off.render_fast(st.params)), ref)
+
+    m_on = make_model("3DGS", num_points=N, H=H, W=W, loss_type="Fusion2",
+                      raster=RasterizeConfig(fused_prep=True))
+    fast = np.asarray(m_on.render_fast(st.params))
+    assert fast.shape == ref.shape
+    err = np.abs(fast - ref)
+    # compositing makes boundary flips slightly wider than the sum path's;
+    # the envelope stays isolated-pixel-sized
+    assert err.max() < 5e-4, err.max()
+    assert (err > 5e-5).mean() < 1e-3
+
+
+def test_render_fast_fused_sh0():
+    from gaussianimage_tpu.models import make_model
+    from gaussianimage_tpu.ops import RasterizeConfig
+
+    H, W, N = 64, 96, 256
+    m_off = make_model("3DGS", num_points=N, H=H, W=W, loss_type="Fusion2",
+                       sh_degree=0)
+    st = m_off.init_state(jax.random.PRNGKey(6))
+    ref = np.asarray(m_off.render(st.params)["render"])
+    m_on = make_model("3DGS", num_points=N, H=H, W=W, loss_type="Fusion2",
+                      sh_degree=0, raster=RasterizeConfig(fused_prep=True))
+    fast = np.asarray(m_on.render_fast(st.params))
+    err = np.abs(fast - ref)
+    assert err.max() < 5e-4, err.max()
