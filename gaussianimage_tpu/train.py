@@ -426,7 +426,12 @@ def parse_args(argv):
                         "behavior) or 'adaptive' GT-gradient-density "
                         "positions + GT colors (core/init.py)")
     p.add_argument("--chunk_size", type=int, default=250,
-                   help="train iterations per on-device scan chunk")
+                   help="train iterations per on-device scan chunk. NOTE: "
+                        "relocation rounds (core/reseed.py) fire at the "
+                        "first chunk BOUNDARY >= each scheduled iteration, "
+                        "so a nonstandard chunk size shifts the reseed "
+                        "ladder accordingly (the schedule's evidence base "
+                        "is the default 250/500-boundary grid)")
     p.add_argument("--checkpoint_root", type=str, default="./checkpoints")
     p.add_argument("--ckpt_every", type=int, default=10000,
                    help="save a mid-fit resume snapshot (params + optimizer "
