@@ -78,9 +78,13 @@ def main():
     from gaussianimage_tpu.datasets import load_single
     from gaussianimage_tpu.models import make_model
 
+    from gaussianimage_tpu.ops import RasterizeConfig
+
     H, W, N = 512, 768, 10000
     gt = jnp.asarray(load_single("photos", "", "china"))
     model = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W)
+    model_f = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                         raster=RasterizeConfig(fused_prep=True))
     state = model.init_state(jax.random.PRNGKey(1), gt_image=gt)
     chunk = jax.jit(lambda st, g, s: model.train_chunk(st, g, None, s, 100),
                     donate_argnums=(0,))
@@ -98,8 +102,19 @@ def main():
         return jax.lax.scan(body, jnp.float32(0.0),
                             jnp.arange(1, BURST + 1, dtype=jnp.int32))[0]
 
+    def render_fast_burst(p):
+        def body(acc, i):
+            q = dict(p)
+            q["_xyz"] = q["_xyz"] + 1e-30 * i.astype(jnp.float32)
+            return acc + model_f.render_fast(q)[0, 0, 0, 0], None
+        return jax.lax.scan(body, jnp.float32(0.0),
+                            jnp.arange(1, BURST + 1, dtype=jnp.int32))[0]
+
     qmodel = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
                         quantize=True)
+    qmodel_f = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                          quantize=True,
+                          raster=RasterizeConfig(fused_prep=True))
     qstate = qmodel.init_state(jax.random.PRNGKey(2))
     qp = dict(qstate.params)
     for k, v in state.params.items():
@@ -108,15 +123,21 @@ def main():
     qstate = qmodel.init_quantizer_data(qstate)
     enc = jax.device_put(qmodel.compress_wo_ec(qstate.params, qstate.extra))
 
-    def decode_burst(p, qe, e):
-        def body(acc, i):
-            q = dict(p)
-            q["cholesky_quant_scale"] = (
-                q["cholesky_quant_scale"] + 1e-30 * i.astype(jnp.float32))
-            img = qmodel.decompress_wo_ec(q, qe, e)["render"]
-            return acc + img[0, 0, 0, 0], None
-        return jax.lax.scan(body, jnp.float32(0.0),
-                            jnp.arange(1, BURST + 1, dtype=jnp.int32))[0]
+    def decode_burst_for(m):
+        def burst(p, qe, e):
+            def body(acc, i):
+                q = dict(p)
+                q["cholesky_quant_scale"] = (
+                    q["cholesky_quant_scale"]
+                    + 1e-30 * i.astype(jnp.float32))
+                img = m.decompress_wo_ec(q, qe, e)["render"]
+                return acc + img[0, 0, 0, 0], None
+            return jax.lax.scan(body, jnp.float32(0.0),
+                                jnp.arange(1, BURST + 1, dtype=jnp.int32))[0]
+        return burst
+
+    decode_burst = decode_burst_for(qmodel)
+    decode_burst_fused = decode_burst_for(qmodel_f)
 
     # batched decode (B frames through one binning+kernel pass) — round-2
     # measured batch-4 decode SLOWER than single-frame; this trace shows
@@ -135,9 +156,14 @@ def main():
     enc_b = {k: stackb(jnp.asarray(v)) for k, v in enc.items()}
 
     def decode_batched(pb, xb, eb):
-        return decompress_wo_ec_batch(qmodel, pb, xb, eb)["render"]
+        # fused batched prep when the flag is on (splat_prep.py
+        # _batch_decode_kernel) — the serving path bench.py times
+        return decompress_wo_ec_batch(qmodel_f, pb, xb, eb)["render"]
 
     gmodel = make_model("3DGS", num_points=N, H=H, W=W, loss_type="Fusion2")
+    gmodel_f = make_model("3DGS", num_points=N, H=H, W=W,
+                          loss_type="Fusion2",
+                          raster=RasterizeConfig(fused_prep=True))
     gstate = gmodel.init_state(jax.random.PRNGKey(3))
     gchunk = jax.jit(lambda st, g, s: gmodel.train_chunk(st, g, None, s, 50),
                      donate_argnums=(0,))
@@ -151,11 +177,23 @@ def main():
         return jax.lax.scan(body, jnp.float32(0.0),
                             jnp.arange(1, 9, dtype=jnp.int32))[0]
 
+    def blend_burst_fused(p):
+        def body(acc, i):
+            q = dict(p)
+            q["_xyz"] = q["_xyz"] + 1e-30 * i.astype(jnp.float32)
+            return acc + gmodel_f.render_fast(q)[0, 0, 0, 0], None
+        return jax.lax.scan(body, jnp.float32(0.0),
+                            jnp.arange(1, 9, dtype=jnp.int32))[0]
+
     results = {"scene": "china_768x512", "num_points": N,
                "burst_frames": BURST, "backend": jax.default_backend()}
     trace_burst(jax.jit(render_burst), (state.params,), "render", results)
+    trace_burst(jax.jit(render_fast_burst), (state.params,),
+                "render_fused", results)
     trace_burst(jax.jit(decode_burst), (qstate.params, qstate.extra, enc),
                 "decode", results)
+    trace_burst(jax.jit(decode_burst_fused),
+                (qstate.params, qstate.extra, enc), "decode_fused", results)
     # no donation here: trace_burst calls twice with the same state
     chunk_nd = jax.jit(lambda st, g, s: model.train_chunk(st, g, None, s, 100))
     trace_burst(chunk_nd, (state, gt, jnp.asarray(601)), "train_chunk_100",
@@ -164,6 +202,8 @@ def main():
                 f"decode_batched_{Bb}f", results)
     trace_burst(jax.jit(blend_burst), (gstate.params,), "blend_3dgs_8f",
                 results)
+    trace_burst(jax.jit(blend_burst_fused), (gstate.params,),
+                "blend_3dgs_fused_8f", results)
 
     out_dir = os.path.join("results", "profiles")
     os.makedirs(out_dir, exist_ok=True)
