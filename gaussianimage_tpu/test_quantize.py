@@ -149,12 +149,19 @@ def parse_args(argv):
     return p.parse_args(argv)
 
 
-def batched_dataset_decode_fps(evaluators, reps: int = 3):
+def batched_dataset_decode_fps(evaluators, reps: int = 3,
+                               scan_len: int = 16):
     """Whole-dataset decode: stack every same-shape image's (params, vq
     state, code arrays) and decode them through ONE batched rasterizer pass
-    (batched.py). This is the serving configuration — the per-frame op-
-    launch floor (~0.1 ms on axon) amortizes over the batch. Returns
-    (total_frames, frames_per_second) over the largest shape group."""
+    (batched.py — the fused batched prep kernel when supported). This is
+    the serving configuration — the per-frame op-launch floor (~0.1 ms on
+    axon) amortizes over the batch, and the probe is a ROLLED scan of
+    ``scan_len`` batched decodes per dispatch (sub-ulp-perturbed quantizer
+    scale, every frame consumed) so the sync-dispatch tax amortizes like
+    the single-frame probe's. Returns (total_frames, frames_per_second)
+    over the largest shape group."""
+    import dataclasses
+
     from gaussianimage_tpu.batched import decompress_wo_ec_batch
 
     groups = {}
@@ -164,21 +171,34 @@ def batched_dataset_decode_fps(evaluators, reps: int = 3):
     if len(evs) < 2:
         return len(evs), None
     model = evs[0].model
+    model_f = type(model)(dataclasses.replace(
+        model.cfg, raster=model.cfg.raster._replace(fused_prep=True)))
     params_b = jax.tree.map(lambda *x: jnp.stack(x),
                             *[ev.state.params for ev in evs])
     extra_b = jax.tree.map(lambda *x: jnp.stack(x),
                            *[ev.state.extra for ev in evs])
     enc_b = {k: jnp.asarray(np.stack([np.asarray(ev.enc[k]) for ev in evs]))
              for k in evs[0].enc}
-    fn = jax.jit(lambda pb, xb, eb: decompress_wo_ec_batch(
-        model, pb, xb, eb)["render"])
+    scale_key = next(k for k in params_b if k.endswith("_quant_scale"))
+
+    def burst(pb, xb, eb):
+        def body(acc, i):
+            p = dict(pb)
+            p[scale_key] = p[scale_key] + 1e-30 * i.astype(jnp.float32)
+            img = decompress_wo_ec_batch(model_f, p, xb, eb)["render"]
+            return acc + img[:, 0, 0, 0].sum(), None
+
+        return jax.lax.scan(body, jnp.float32(0.0),
+                            jnp.arange(1, scan_len + 1, dtype=jnp.int32))[0]
+
+    fn = jax.jit(burst)
     out = fn(params_b, extra_b, enc_b)
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(params_b, extra_b, enc_b)
     jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
+    dt = (time.time() - t0) / (reps * scan_len)
     return len(evs), len(evs) / dt
 
 
