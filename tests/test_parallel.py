@@ -146,3 +146,29 @@ def test_sharded_fit_improves_psnr():
         params, opt_state, loss, psnr, _nd = step(params, opt_state, gt,
                                              jnp.asarray(1 + 50 * it))
     assert np.asarray(psnr)[0] > psnr0[0] + 3.0
+
+
+def test_v5p_projection_math():
+    """The projection must reproduce the hand-derived comm/compute split:
+    wire bytes follow the ring-collective formulas at flagship scale and
+    efficiency falls out of t_compute/(t_compute + t_comm)."""
+    from gaussianimage_tpu.parallel.scaling_bench import (
+        FLAGSHIP, V5P_ICI_BIDI_BYTES_PER_S, comm_accounting, v5p_projection)
+
+    axes = {"data": 1, "gauss": 4, "tile": 2}
+    proj = v5p_projection(axes)
+    comm = comm_accounting(FLAGSHIP["H"], FLAGSHIP["W"], FLAGSHIP["N"],
+                           FLAGSHIP["param_cols"], axes, False)
+    # gauss psum: per-shard [H/t, W, 3] f32 image, ring all-reduce
+    img_bytes = (512 // 2) * 768 * 3 * 4
+    assert comm["gauss_psum_wire_bytes"] == int(2 * 3 / 4 * img_bytes)
+    t_comm = comm["total_wire_bytes_per_step"] / V5P_ICI_BIDI_BYTES_PER_S
+    t_comp = FLAGSHIP["t1_step_s"] / 8
+    expect = t_comp / (t_comp + t_comm)
+    assert abs(proj["efficiency_no_overlap"] - expect) < 2e-3
+    # the >=80% scaling target is met in the projection at 8 chips
+    assert proj["efficiency_no_overlap"] >= 0.8
+    # tile-only ZeRO-1 mesh: almost no comm -> near-perfect
+    proj_t = v5p_projection({"data": 1, "gauss": 1, "tile": 8},
+                            shard_opt=True)
+    assert proj_t["efficiency_no_overlap"] > 0.95
