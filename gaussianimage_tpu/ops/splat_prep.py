@@ -53,12 +53,12 @@ _BLK_CAP = 1024  # max gaussians per grid step. Mosaic pads the lane dim of
 _INT_MAX = np.int32(2 ** 31 - 1)
 
 
-def _block_rows(N: int) -> int:
+def _block_rows(N: int, cap: int = _BLK_CAP) -> int:
     """Gaussians per grid step: one step when the scene fits the cap."""
-    return min(_BLK_CAP, -(-(N + 1) // 8) * 8)
+    return min(cap, -(-(N + 1) // 8) * 8)
 
 
-def _project_pack_bin(row, valid, means, s11, s12, s22, colors,
+def _project_pack_bin(row, valid, mx, my, s11, s12, s22, colors,
                       feat_ref, keys_ref, stats_ref, *,
                       N, H, W, tile_px, tiles_x, tiles_y, M, id_bits,
                       q_cut, blk, y_off=None, row_lo=None, row_hi=None):
@@ -69,14 +69,19 @@ def _project_pack_bin(row, valid, means, s11, s12, s22, colors,
     core/covariance.py + rasterize_sum._axis_radii +
     tiles._expand_instances op-for-op.
 
-    Batched stacking (``y_off``/``row_lo``/``row_hi``, each [blk, 1] f32):
+    ORIENTATION: every per-gaussian value is a [1, blk] ROW vector
+    (gaussians on lanes — full 128-lane VPU utilization; the original
+    [blk, 1] column layout padded every op's lane dim to 128, a measured
+    ~13 us/block vs ~1 us transposed); ``colors`` is [3, blk].
+
+    Batched stacking (``y_off``/``row_lo``/``row_hi``, each [1, blk] f32):
     ``H`` is then the PER-FRAME height used for the NDC->pixel mapping,
     ``y_off`` shifts each row into its frame's band on the tall canvas,
     and the tile-row clips use the per-row band bounds instead of
     [0, tiles_y-1] — exactly tiles._expand_instances' ``band`` semantics
     (the ``inside`` test stays against the full canvas, like there)."""
-    x = 0.5 * ((means[:, 0:1] + 1.0) * W - 1.0)
-    y = 0.5 * ((means[:, 1:2] + 1.0) * H - 1.0)
+    x = 0.5 * ((mx + 1.0) * W - 1.0)
+    y = 0.5 * ((my + 1.0) * H - 1.0)
     if y_off is not None:
         y = y + y_off
     det = s11 * s22 - s12 * s12
@@ -97,7 +102,7 @@ def _project_pack_bin(row, valid, means, s11, s12, s22, colors,
     ry = jnp.where(live, jnp.minimum(ry, radii), 0.0)
 
     _pack_bin(row, valid, x, y, ca, cb, cc, rx, ry, colors,
-              jnp.ones((blk, 1), jnp.float32), feat_ref, keys_ref,
+              jnp.ones((1, blk), jnp.float32), feat_ref, keys_ref,
               stats_ref, tile_px=tile_px, tiles_x=tiles_x, tiles_y=tiles_y,
               M=M, id_bits=id_bits, blk=blk, row_lo=row_lo, row_hi=row_hi)
 
@@ -110,12 +115,15 @@ def _pack_bin(row, valid, x, y, ca, cb, cc, rx, ry, colors, opac,
     raw colors + real opacity the blend kernel's), packed binning keys
     (tiles._expand_instances semantics) and truncation accounting.
     ``rx``/``ry`` are the binning bbox half-extents (the sum path's exact
-    q<=q_cut ellipse extents, or the blend path's isotropic radius)."""
+    q<=q_cut ellipse extents, or the blend path's isotropic radius).
+    All scalars [1, blk], colors [3, blk] (see _project_pack_bin's
+    orientation note); the ONE transpose back to row layout happens at the
+    feat store."""
     # ---- feature rows -----------------------------------------------------
-    feat = jnp.concatenate(
+    featT = jnp.concatenate(
         [x, y, ca, cb, cc, colors, opac,
-         jnp.zeros((blk, sc.FW - 9), jnp.float32)], axis=1)
-    feat_ref[...] = jnp.where(valid, feat, 0.0)
+         jnp.zeros((sc.FW - 9, blk), jnp.float32)], axis=0)  # [16, blk]
+    feat_ref[...] = jnp.where(valid, featT, 0.0).T
 
     # ---- binning keys (_expand_instances + packed key, slot-minor) -------
     lo = jnp.float32(0.0) if row_lo is None else row_lo
@@ -127,14 +135,14 @@ def _pack_bin(row, valid, x, y, ca, cb, cc, rx, ry, colors, opac,
     inside = ((rx > 0) & (ry > 0)
               & (x + rx >= 0) & (x - rx < tiles_x * tile_px)
               & (y + ry >= 0) & (y - ry < tiles_y * tile_px))
-    span_w = x1 - x0 + 1.0                                    # [blk, 1] f32
+    span_w = x1 - x0 + 1.0                                    # [1, blk] f32
     area = span_w * (y1 - y0 + 1.0)
     # int iota then cast: Mosaic rejects tpu.iota with a float result type
     # (interpret mode tolerates it — this is an on-TPU-only constraint)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (blk, M), 1).astype(jnp.float32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (M, blk), 0).astype(jnp.float32)
     jy = jnp.floor(jj / span_w)          # exact for small ints (see tests)
     jx = jj - jy * span_w
-    tile = (y0 + jy) * tiles_x + (x0 + jx)                    # [blk, M] f32
+    tile = (y0 + jy) * tiles_x + (x0 + jx)                    # [M, blk] f32
     live_j = (inside & valid & (jj < jnp.minimum(area, float(M))))
     key = jnp.left_shift(tile.astype(jnp.int32), id_bits) | row
     keys_ref[...] = jnp.where(live_j, key, _INT_MAX)
@@ -143,7 +151,7 @@ def _pack_bin(row, valid, x, y, ca, cb, cc, rx, ry, colors, opac,
     trunc = jnp.where(inside & valid,
                       jnp.maximum(area - float(M), 0.0), 0.0)
     n_live = jnp.where(inside & valid, jnp.minimum(area, float(M)), 0.0)
-    stats_ref[...] = jnp.concatenate([trunc, n_live], axis=1)
+    stats_ref[...] = jnp.concatenate([trunc, n_live], axis=0)
 
 
 def _decode_kernel(xyz_ref, codes_ref, idx_ref, scale_ref, beta_ref,
@@ -151,33 +159,34 @@ def _decode_kernel(xyz_ref, codes_ref, idx_ref, scale_ref, beta_ref,
                    N, H, W, tile_px, tiles_x, tiles_y, M, id_bits, q_cut,
                    bound, blk):
     pid = pl.program_id(0)
-    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
-           + pid * blk)                      # [blk, 1] global gaussian id
+    row = (jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+           + pid * blk)                      # [1, blk] global gaussian id
     valid = row < N                          # sentinel/pad rows
 
     # means: tanh(f16-rounded codes) -> NDC (the f16 -> f32 cast happens at
     # the call site; Mosaic fp16 support is shaky, values are identical)
-    means = jnp.tanh(xyz_ref[...])                            # [blk, 2]
+    means = jnp.tanh(xyz_ref[...].T)                          # [2, blk]
     # cholesky: codes * scale + beta, then the reference bound offset
     # (bound enters as three static scalars — a captured [3] array would be
     # a pallas constant)
-    chol = (codes_ref[...].astype(jnp.float32) * scale_ref[...]
-            + beta_ref[...])                                  # [blk, 3]
+    chol = (codes_ref[...].T.astype(jnp.float32) * scale_ref[...].T
+            + beta_ref[...].T)                                # [3, blk]
     b0, b1, b2 = (float(bound[0]), float(bound[1]), float(bound[2]))
     # colors: residual-VQ combined-codebook lookup (codec/vq.py decompress
     # = sum of per-layer embeddings == one gather from the combined table)
-    comb = idx_ref[:, 0:1] * 8 + idx_ref[:, 1:2]              # [blk, 1]
-    oh = (comb == jax.lax.broadcasted_iota(jnp.int32, (blk, 64), 1))
+    idx = idx_ref[...].T                                      # [2, blk]
+    comb = idx[0:1] * 8 + idx[1:2]                            # [1, blk]
+    oh = (comb == jax.lax.broadcasted_iota(jnp.int32, (64, blk), 0))
     colors = jax.lax.dot_general(
-        oh.astype(jnp.float32), embed_ref[...],
+        embed_ref[...].T, oh.astype(jnp.float32),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                  # [blk, 3]
-    l11 = chol[:, 0:1] + b0
-    l21 = chol[:, 1:2] + b1
-    l22 = chol[:, 2:3] + b2
+        precision=jax.lax.Precision.HIGHEST)                  # [3, blk]
+    l11 = chol[0:1] + b0
+    l21 = chol[1:2] + b1
+    l22 = chol[2:3] + b2
     _project_pack_bin(
-        row, valid, means, l11 * l11, l11 * l21,
+        row, valid, means[0:1], means[1:2], l11 * l11, l11 * l21,
         l21 * l21 + l22 * l22, colors, feat_ref, keys_ref, stats_ref,
         N=N, H=H, W=W, tile_px=tile_px, tiles_x=tiles_x, tiles_y=tiles_y,
         M=M, id_bits=id_bits, q_cut=q_cut, blk=blk)
@@ -195,40 +204,41 @@ def _batch_decode_kernel(xyz_ref, codes_ref, idx_ref, scale_ref, beta_ref,
     per-frame tile-row bands — batched.py's vertical stacking with exact
     containment, but with zero XLA-side per-frame glue."""
     pid = pl.program_id(0)
-    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + pid * blk)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) + pid * blk)
     valid = row < N
     # frame id by comparison ladder (exact; avoids in-kernel int division)
     frame = jnp.zeros_like(row)
     for f in range(1, b):
         frame = frame + (row >= f * n_per).astype(jnp.int32)
-    means = jnp.tanh(xyz_ref[...])
-    fo = (frame == jax.lax.broadcasted_iota(jnp.int32, (blk, b), 1)
-          ).astype(jnp.float32)                                # [blk, B]
+    means = jnp.tanh(xyz_ref[...].T)                           # [2, blk]
+    fo = (frame == jax.lax.broadcasted_iota(jnp.int32, (b, blk), 0)
+          ).astype(jnp.float32)                                # [B, blk]
 
     def sel(ref):
         return jax.lax.dot_general(
-            fo, ref[...], (((1,), (0,)), ((), ())),
+            ref[...].T, fo, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)               # [blk, 3]
+            precision=jax.lax.Precision.HIGHEST)               # [3, blk]
 
-    chol = (codes_ref[...].astype(jnp.float32) * sel(scale_ref)
+    chol = (codes_ref[...].T.astype(jnp.float32) * sel(scale_ref)
             + sel(beta_ref))
     b0, b1, b2 = (float(bound[0]), float(bound[1]), float(bound[2]))
-    comb = (frame * 64 + idx_ref[:, 0:1] * 8 + idx_ref[:, 1:2])  # [blk, 1]
-    oh = (comb == jax.lax.broadcasted_iota(jnp.int32, (blk, 64 * b), 1))
+    idx = idx_ref[...].T                                       # [2, blk]
+    comb = (frame * 64 + idx[0:1] * 8 + idx[1:2])              # [1, blk]
+    oh = (comb == jax.lax.broadcasted_iota(jnp.int32, (64 * b, blk), 0))
     colors = jax.lax.dot_general(
-        oh.astype(jnp.float32), embed_ref[...],
+        embed_ref[...].T, oh.astype(jnp.float32),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                   # [blk, 3]
+        precision=jax.lax.Precision.HIGHEST)                   # [3, blk]
     h_frame = H // b
     rows_pf = tiles_y // b
     ff = frame.astype(jnp.float32)
-    l11 = chol[:, 0:1] + b0
-    l21 = chol[:, 1:2] + b1
-    l22 = chol[:, 2:3] + b2
+    l11 = chol[0:1] + b0
+    l21 = chol[1:2] + b1
+    l22 = chol[2:3] + b2
     _project_pack_bin(
-        row, valid, means, l11 * l11, l11 * l21,
+        row, valid, means[0:1], means[1:2], l11 * l11, l11 * l21,
         l21 * l21 + l22 * l22, colors, feat_ref, keys_ref, stats_ref,
         N=N, H=h_frame, W=W, tile_px=tile_px, tiles_x=tiles_x,
         tiles_y=tiles_y, M=M, id_bits=id_bits, q_cut=q_cut, blk=blk,
@@ -242,29 +252,33 @@ def _raw_kernel(xyz_ref, chol_ref, colors_ref, feat_ref, keys_ref,
     """Non-quantized render prep: raw params -> feat + keys (the inference
     render path's glue — tanh means, bound offset, projection, packing)."""
     pid = pl.program_id(0)
-    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + pid * blk)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) + pid * blk)
     valid = row < N
-    means = jnp.tanh(xyz_ref[...])
-    chol = chol_ref[...]
+    means = jnp.tanh(xyz_ref[...].T)                           # [2, blk]
+    chol = chol_ref[...].T                                     # [3, blk]
     b0, b1, b2 = (float(bound[0]), float(bound[1]), float(bound[2]))
-    l11 = chol[:, 0:1] + b0
-    l21 = chol[:, 1:2] + b1
-    l22 = chol[:, 2:3] + b2
+    l11 = chol[0:1] + b0
+    l21 = chol[1:2] + b1
+    l22 = chol[2:3] + b2
     _project_pack_bin(
-        row, valid, means, l11 * l11, l11 * l21,
-        l21 * l21 + l22 * l22, colors_ref[...], feat_ref, keys_ref,
+        row, valid, means[0:1], means[1:2], l11 * l11, l11 * l21,
+        l21 * l21 + l22 * l22, colors_ref[...].T, feat_ref, keys_ref,
         stats_ref,
         N=N, H=H, W=W, tile_px=tile_px, tiles_x=tiles_x, tiles_y=tiles_y,
         M=M, id_bits=id_bits, q_cut=q_cut, blk=blk)
 
 
 def _run_prep(kernel_fn, arrays, in_widths, N, H, W, cfg, m_span,
-              bound) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
-                              jnp.ndarray]:
+              bound, blk_cap: int = _BLK_CAP
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                         jnp.ndarray]:
     """Shared pallas_call plumbing for every prep front. ``in_widths``:
     per-input block shape — an int k means a row-blocked (blk, k) input, a
     (r, k) tuple a constant block replicated to every grid step. Returns
-    (feat [N+1,16], keys [N_pad*M] int32 flat, trunc [], n_total [])."""
+    (feat [N+1,16], keys [N_pad*M] int32 flat, trunc [], n_total []).
+    ``blk_cap``: rows per grid step — kernels with many live [blk, 128]-
+    padded temporaries (the 3DGS front's ~60) must shrink it to fit the
+    ~26 MB scoped-VMEM stack."""
     tp = cfg.tile_px
     tiles_x = -(-W // tp)
     tiles_y = -(-H // tp)
@@ -272,7 +286,7 @@ def _run_prep(kernel_fn, arrays, in_widths, N, H, W, cfg, m_span,
     id_bits = max(int(N - 1).bit_length(), 1)
     assert (tiles_x * tiles_y + 1) * (1 << id_bits) < 2 ** 31, (
         "fused prep requires the packed-key regime")
-    blk = _block_rows(N)
+    blk = _block_rows(N, blk_cap)
     n_pad = -(-(N + 1) // blk) * blk
     grid = n_pad // blk
 
@@ -292,17 +306,19 @@ def _run_prep(kernel_fn, arrays, in_widths, N, H, W, cfg, m_span,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((blk, sc.FW), lambda b: (b, 0)),
-            pl.BlockSpec((blk, M), lambda b: (b, 0)),
-            pl.BlockSpec((blk, 2), lambda b: (b, 0)),
+            pl.BlockSpec((M, blk), lambda b: (0, b)),
+            pl.BlockSpec((2, blk), lambda b: (0, b)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, sc.FW), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, M), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+            jax.ShapeDtypeStruct((M, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((2, n_pad), jnp.float32),
         ],
         interpret=sc.use_interpret(cfg),
     )(*arrays)
-    tot = stats.sum(axis=0)
+    tot = stats.sum(axis=1)
+    # keys flatten in slot-major order — a permutation of the row-major
+    # stream; the only consumer is a sort, which is order-invariant
     return (feat[:N + 1], keys.reshape(-1),
             tot[0].astype(jnp.int32), tot[1].astype(jnp.int32))
 
@@ -402,12 +418,13 @@ def fused_decode_cholesky_batch(enc_xyz_b, chol_codes_b, scale_b, beta_b,
                                    cfg, I0)
 
 
-def _rs_cov(scaling, theta):
-    """cov2d_from_scale_rot, op-for-op (core/covariance.py)."""
+def _rs_cov(sx, sy, theta):
+    """cov2d_from_scale_rot, op-for-op (core/covariance.py); [1, blk]
+    row vectors."""
     c = jnp.cos(theta)
     s = jnp.sin(theta)
-    sx2 = scaling[:, 0:1] * scaling[:, 0:1]
-    sy2 = scaling[:, 1:2] * scaling[:, 1:2]
+    sx2 = sx * sx
+    sy2 = sy * sy
     s11 = c * c * sx2 + s * s * sy2
     s12 = c * s * (sx2 - sy2)
     s22 = s * s * sx2 + c * c * sy2
@@ -422,26 +439,31 @@ def _rs_decode_kernel(xyz_ref, scodes_ref, rcodes_ref, idx_ref, sq_ref,
     + quantized ACTIVATED rotation (radians directly — models/rs.py:57-63,
     reference gaussianimage_rs.py:50-52)."""
     pid = pl.program_id(0)
-    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + pid * blk)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) + pid * blk)
     valid = row < N
-    means = jnp.tanh(xyz_ref[...])
+    means = jnp.tanh(xyz_ref[...].T)                          # [2, blk]
     b0, b1 = float(bound[0]), float(bound[1])
-    s_deq = (scodes_ref[...].astype(jnp.float32) * sq_ref[0:1, 0:2]
-             + sq_ref[0:1, 2:4])                              # [blk, 2]
-    scaling = jnp.abs(jnp.concatenate(
-        [s_deq[:, 0:1] + b0, s_deq[:, 1:2] + b1], axis=1))
-    theta = (rcodes_ref[...].astype(jnp.float32) * rq_ref[0:1, 0:1]
-             + rq_ref[0:1, 1:2])                              # [blk, 1]
-    comb = idx_ref[:, 0:1] * 8 + idx_ref[:, 1:2]
-    oh = (comb == jax.lax.broadcasted_iota(jnp.int32, (blk, 64), 1))
+    scodes = scodes_ref[...].T.astype(jnp.float32)            # [2, blk]
+    sq = sq_ref[...]                                          # [1, 4]
+    s0 = scodes[0:1] * sq[0:1, 0:1] + sq[0:1, 2:3]
+    s1 = scodes[1:2] * sq[0:1, 1:2] + sq[0:1, 3:4]
+    sx = jnp.abs(s0 + b0)
+    sy = jnp.abs(s1 + b1)
+    rq = rq_ref[...]                                          # [1, 2]
+    theta = (rcodes_ref[...].T.astype(jnp.float32) * rq[0:1, 0:1]
+             + rq[0:1, 1:2])                                  # [1, blk]
+    idx = idx_ref[...].T                                      # [2, blk]
+    comb = idx[0:1] * 8 + idx[1:2]
+    oh = (comb == jax.lax.broadcasted_iota(jnp.int32, (64, blk), 0))
     colors = jax.lax.dot_general(
-        oh.astype(jnp.float32), embed_ref[...],
+        embed_ref[...].T, oh.astype(jnp.float32),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    s11, s12, s22 = _rs_cov(scaling, theta)
+        precision=jax.lax.Precision.HIGHEST)                  # [3, blk]
+    s11, s12, s22 = _rs_cov(sx, sy, theta)
     _project_pack_bin(
-        row, valid, means, s11, s12, s22, colors, feat_ref, keys_ref,
+        row, valid, means[0:1], means[1:2], s11, s12, s22, colors,
+        feat_ref, keys_ref,
         stats_ref, N=N, H=H, W=W, tile_px=tile_px, tiles_x=tiles_x,
         tiles_y=tiles_y, M=M, id_bits=id_bits, q_cut=q_cut, blk=blk)
 
@@ -451,17 +473,18 @@ def _rs_raw_kernel(xyz_ref, scaling_ref, rot_ref, colors_ref, feat_ref,
                    tiles_y, M, id_bits, q_cut, bound, blk):
     """RS raw front: abs(s + bound) scaling, sigmoid * 2pi rotation."""
     pid = pl.program_id(0)
-    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + pid * blk)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) + pid * blk)
     valid = row < N
-    means = jnp.tanh(xyz_ref[...])
+    means = jnp.tanh(xyz_ref[...].T)                          # [2, blk]
     b0, b1 = float(bound[0]), float(bound[1])
-    s_raw = scaling_ref[...]
-    scaling = jnp.abs(jnp.concatenate(
-        [s_raw[:, 0:1] + b0, s_raw[:, 1:2] + b1], axis=1))
-    theta = jax.nn.sigmoid(rot_ref[...]) * (2.0 * np.pi)
-    s11, s12, s22 = _rs_cov(scaling, theta)
+    s_raw = scaling_ref[...].T                                # [2, blk]
+    sx = jnp.abs(s_raw[0:1] + b0)
+    sy = jnp.abs(s_raw[1:2] + b1)
+    theta = jax.nn.sigmoid(rot_ref[...].T) * (2.0 * np.pi)    # [1, blk]
+    s11, s12, s22 = _rs_cov(sx, sy, theta)
     _project_pack_bin(
-        row, valid, means, s11, s12, s22, colors_ref[...], feat_ref,
+        row, valid, means[0:1], means[1:2], s11, s12, s22,
+        colors_ref[...].T, feat_ref,
         keys_ref, stats_ref, N=N, H=H, W=W, tile_px=tile_px,
         tiles_x=tiles_x, tiles_y=tiles_y, M=M, id_bits=id_bits,
         q_cut=q_cut, blk=blk)

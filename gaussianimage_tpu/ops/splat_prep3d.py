@@ -43,10 +43,10 @@ from gaussianimage_tpu.ops.splat_prep import _pack_bin, _run_prep, _row_spec
 
 
 def _sh_eval(degree: int, vx, vy, vz, coeff, blk):
-    """SH at unit view dir (vx, vy, vz) [blk, 1] with coefficient rows
-    ``coeff`` [blk, 3*K] laid out basis-major — core/sh.py op-for-op."""
+    """SH at unit view dir (vx, vy, vz) [1, blk] with coefficients
+    ``coeff`` [3*K, blk] basis-major — core/sh.py op-for-op."""
     def cf(b):
-        return coeff[:, 3 * b:3 * b + 3]  # [blk, 3]
+        return coeff[3 * b:3 * b + 3]  # [3, blk]
 
     x, y, z = vx, vy, vz
     result = _C0 * cf(0)
@@ -91,23 +91,24 @@ def _blend3d_prep_kernel(xyz_ref, scale_ref, quat_ref, opac_ref, coeff_ref,
                          N, H, W, tile_px, tiles_x, tiles_y, M, id_bits,
                          q_cut, bound, blk, cam, sh_degree):
     """camera3d.project_gaussians + sh + gs3d activations, scalarized to
-    [blk, 1] columns (each op is a full 8x128-vreg VPU pass at blk=1024 —
-    vs the XLA pipeline's [N]-vector fusions)."""
+    [1, blk] ROW vectors (gaussians on lanes — full 128-lane utilization;
+    the XLA pipeline's [N]-vector fusions and a [blk, 1]-column kernel both
+    measured ~2-15 us/block from lane padding)."""
     del q_cut, bound  # _run_prep plumbing (sum-path knobs; unused here)
     (rv00, rv01, rv02, rv10, rv11, rv12, rv20, rv21, rv22,
      tv0, tv1, tv2, fx, fy, cx, cy, trx, tr_y, trz, clip_near) = cam
     pid = pl.program_id(0)
-    row = (jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + pid * blk)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) + pid * blk)
     valid = row < N
 
-    X = xyz_ref[...]
-    x3, y3, z3 = X[:, 0:1], X[:, 1:2], X[:, 2:3]
+    X = xyz_ref[...].T                                        # [3, blk]
+    x3, y3, z3 = X[0:1], X[1:2], X[2:3]
 
     # quat -> rotation (normalized), camera3d.quat_to_rotmat
-    q = quat_ref[...]
-    qn = jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True))
+    q = quat_ref[...].T                                       # [4, blk]
+    qn = jnp.sqrt(jnp.sum(q * q, axis=0, keepdims=True))
     q = q / jnp.maximum(qn, 1e-30)  # pad rows are all-zero: avoid 0/0 NaN
-    w, qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3], q[:, 3:4]
+    w, qx, qy, qz = q[0:1], q[1:2], q[2:3], q[3:4]
     r00 = 1 - 2 * (qy * qy + qz * qz)
     r01 = 2 * (qx * qy - w * qz)
     r02 = 2 * (qx * qz + w * qy)
@@ -119,8 +120,8 @@ def _blend3d_prep_kernel(xyz_ref, scale_ref, quat_ref, opac_ref, coeff_ref,
     r22 = 1 - 2 * (qx * qx + qy * qy)
 
     # Sigma3D = (R S)(R S)^T, glob_scale == 1 (gs3d.render call)
-    s = jnp.exp(scale_ref[...])
-    s0, s1, s2 = s[:, 0:1], s[:, 1:2], s[:, 2:3]
+    s = jnp.exp(scale_ref[...].T)                             # [3, blk]
+    s0, s1, s2 = s[0:1], s[1:2], s[2:3]
     m00, m01, m02 = r00 * s0, r01 * s1, r02 * s2
     m10, m11, m12 = r10 * s0, r11 * s1, r12 * s2
     m20, m21, m22 = r20 * s0, r21 * s1, r22 * s2
@@ -181,11 +182,11 @@ def _blend3d_prep_kernel(xyz_ref, scale_ref, quat_ref, opac_ref, coeff_ref,
         vn = jnp.sqrt(vx * vx + vy * vy + vz * vz)
         vn = jnp.maximum(vn, 1e-30)
         rgb = _sh_eval(sh_degree, vx / vn, vy / vn, vz / vn,
-                       coeff_ref[...], blk)
+                       coeff_ref[...].T, blk)
         rgb = jnp.maximum(rgb + 0.5, 0.0)
     else:
-        rgb = jax.nn.sigmoid(coeff_ref[:, 0:3])
-    op = jax.nn.sigmoid(opac_ref[...])
+        rgb = jax.nn.sigmoid(coeff_ref[...].T[0:3])
+    op = jax.nn.sigmoid(opac_ref[...].T)                      # [1, blk]
 
     _pack_bin(row, valid, px, py, ca, cb, cc, radii, radii, rgb, op,
               feat_ref, keys_ref, stats_ref, tile_px=tile_px,
@@ -231,4 +232,6 @@ def fused_prep_blend3d(xyz, scaling_raw, quats, opac_raw, coeffs,
              jnp.float32), coeffs.astype(jnp.float32)),
         [_row_spec(3), _row_spec(3), _row_spec(4), _row_spec(1),
          _row_spec(3 * K)],
-        xyz.shape[0], H, W, cfg, m_span, np.zeros(3, np.float32))
+        xyz.shape[0], H, W, cfg, m_span, np.zeros(3, np.float32),
+        blk_cap=512)  # ~60 live [blk, 128]-padded temporaries: 1024 rows
+    #   overflow the ~26 MB scoped-VMEM stack (measured 28.4M on v5e)
