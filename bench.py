@@ -295,11 +295,13 @@ def main():
     gchunk = jax.jit(lambda st, g, s: gmodel.train_chunk(st, g, None, s, 100),
                      donate_argnums=(0,))
     gstate, _ = gchunk(gstate, gt, jnp.asarray(1))
+    NB_BLEND = 20  # amortize the sync-dispatch tax like the other probes
     gburst = make_burst(lambda q: gmodel.render(q)["render"], "_xyz",
-                        n=8)
-    gburst_f = make_burst(gmodel_f.render_fast, "_xyz", n=8)
-    blend_g_ms = _time_calls(gburst, gstate.params, calls=5) / 8 * 1e3
-    blend_f_ms = _time_calls(gburst_f, gstate.params, calls=5) / 8 * 1e3
+                        n=NB_BLEND)
+    gburst_f = make_burst(gmodel_f.render_fast, "_xyz", n=NB_BLEND)
+    blend_g_ms = _time_calls(gburst, gstate.params, calls=3) / NB_BLEND * 1e3
+    blend_f_ms = _time_calls(gburst_f, gstate.params,
+                             calls=3) / NB_BLEND * 1e3
     blend_ms = min(blend_g_ms, blend_f_ms)
 
     baseline_fps = 2000.0  # reference README headline (V100)

@@ -137,6 +137,43 @@ def _chunk_geom(g, tx0, ty0):
     return gx, gy, a, b, c, cm
 
 
+def _tile_acc(starts_ref, counts_ref, gfeat_ref, t, X, Y,
+              *, tile_px, bk, q_cut, tiles_x, aligned):
+    """Accumulated [C, P] sum for one tile (shared by the [T, C, P]-layout
+    and the direct [C, H, W]-layout forward kernels)."""
+    P = tile_px * tile_px
+    start = starts_ref[t]
+    blk0 = start // bk
+    count = counts_ref[t]
+    nch = (count + bk - 1) // bk
+    tx0, ty0 = _tile_origin(t, tiles_x, tile_px)
+
+    def chunk_body(ci, acc):
+        g = _read_chunk(gfeat_ref, blk0, ci, start + ci * bk, bk,
+                        aligned)
+        gx, gy, a, b, c, cm = _chunk_geom(g, tx0, ty0)
+        # direct quadratic form on pixel offsets (pure VPU, no
+        # cancellation: dx, dy are tile-small)
+        dx = X - gx  # [BK, P]
+        dy = Y - gy
+        # clamp: for near-degenerate conics (QAT can quantize a
+        # Cholesky diagonal to ~1e-4) the f32 form cancels ~1e11-scale
+        # terms and can go spuriously negative, which would pass the
+        # q_cut gate and overflow exp()
+        q = jnp.maximum(
+            a * dx * dx + 2.0 * b * dx * dy + c * dy * dy, 0.0)
+        slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+        live = slot < count
+        w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
+        return acc + jax.lax.dot_general(
+            cm, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [C, P]
+
+    return jax.lax.fori_loop(
+        0, nch, chunk_body, jnp.zeros((_C, P), jnp.float32))
+
+
 def _fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
                 *, tile_px, tb, bk, q_cut, tiles_x, aligned):
     P = tile_px * tile_px
@@ -146,41 +183,34 @@ def _fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
     g0 = pl.program_id(0)
 
     def tile_body(i, _):
-        t = g0 * tb + i
-        start = starts_ref[t]
-        blk0 = start // bk
-        count = counts_ref[t]
-        nch = (count + bk - 1) // bk
-        tx0, ty0 = _tile_origin(t, tiles_x, tile_px)
-
-        def chunk_body(ci, acc):
-            g = _read_chunk(gfeat_ref, blk0, ci, start + ci * bk, bk,
-                            aligned)
-            gx, gy, a, b, c, cm = _chunk_geom(g, tx0, ty0)
-            # direct quadratic form on pixel offsets (pure VPU, no
-            # cancellation: dx, dy are tile-small)
-            dx = X - gx  # [BK, P]
-            dy = Y - gy
-            # clamp: for near-degenerate conics (QAT can quantize a
-            # Cholesky diagonal to ~1e-4) the f32 form cancels ~1e11-scale
-            # terms and can go spuriously negative, which would pass the
-            # q_cut gate and overflow exp()
-            q = jnp.maximum(
-                a * dx * dx + 2.0 * b * dx * dy + c * dy * dy, 0.0)
-            slot = ci * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
-            live = slot < count
-            w = jnp.where(live & (q <= q_cut), jnp.exp(-0.5 * q), 0.0)
-            return acc + jax.lax.dot_general(
-                cm, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # [C, P]
-
-        acc = jax.lax.fori_loop(
-            0, nch, chunk_body, jnp.zeros((_C, P), jnp.float32))
-        out_ref[i] = acc
+        out_ref[i] = _tile_acc(starts_ref, counts_ref, gfeat_ref,
+                               g0 * tb + i, X, Y, tile_px=tile_px, bk=bk,
+                               q_cut=q_cut, tiles_x=tiles_x,
+                               aligned=aligned)
         return 0
 
     jax.lax.fori_loop(0, tb, tile_body, 0)
+
+
+def _fwd_kernel_direct(starts_ref, counts_ref, gfeat_ref, out_ref,
+                       *, tile_px, tb, bk, q_cut, tiles_x, aligned):
+    """Forward that writes the IMAGE-layout [C, tile_px, tb*tile_px] block
+    (tb consecutive tiles of one tile row) — the image leaves the kernel in
+    its final [C, H, W] layout, skipping XLA's tiled->channel relayout
+    (~59 us/frame of pure data movement at 768x512, PROFILE_r04 decode:
+    reshape.47 + copy_bitcast_fusion.2 + slice_clamp + reshape.48). The
+    tile loop is UNROLLED so the lane-dim store offsets are static."""
+    tp = tile_px
+    P = tp * tp
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    X = (pidx % tp).astype(jnp.float32)
+    Y = (pidx // tp).astype(jnp.float32)
+    g0 = pl.program_id(0)
+    for i in range(tb):
+        acc = _tile_acc(starts_ref, counts_ref, gfeat_ref, g0 * tb + i,
+                        X, Y, tile_px=tp, bk=bk, q_cut=q_cut,
+                        tiles_x=tiles_x, aligned=aligned)
+        out_ref[:, :, i * tp:(i + 1) * tp] = acc.reshape(_C, tp, tp)
 
 
 def _bwd_chunk_store(gfeat_ref, dgfeat_ref, G, blk0, start, ci, count,
@@ -284,6 +314,15 @@ def _stream_spec(I, BK, aligned):
     return pl.BlockSpec((I + BK, _FW), lambda g, s, c: (0, 0))
 
 
+def _fwd_direct_ok(static) -> bool:
+    """The direct [C, H, W]-layout forward applies when the image is an
+    exact tile grid and each grid step's TB consecutive tiles stay inside
+    one tile row (then T == tiles_x * tiles_y and TB | T)."""
+    tile_px, TB = static[0], static[1]
+    tiles_x, H, W = static[4], static[7], static[8]
+    return (H % tile_px == 0 and W % tile_px == 0 and tiles_x % TB == 0)
+
+
 def _fwd_pallas(static, starts, counts, gfeat):
     tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned = static
     P = tile_px * tile_px
@@ -308,6 +347,49 @@ def _fwd_pallas(static, starts, counts, gfeat):
             transcendentals=I * P,
         ),
     )(starts, counts, gfeat)
+
+
+def _fwd_pallas_direct(static, starts, counts, gfeat):
+    """Forward writing [C, H, W] directly (see _fwd_kernel_direct). Grid
+    step g covers tiles [g*TB, (g+1)*TB) — one [C, tile_px, TB*tile_px]
+    image block at tile-row g // (tiles_x//TB), block-col g % (tiles_x//TB)."""
+    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned = static
+    P = tile_px * tile_px
+    per_row = tiles_x // TB
+    kern = functools.partial(_fwd_kernel_direct, tile_px=tile_px, tb=TB,
+                             bk=BK, q_cut=q_cut, tiles_x=tiles_x,
+                             aligned=aligned)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // TB,),
+        in_specs=[_stream_spec(I, BK, aligned)],
+        out_specs=pl.BlockSpec(
+            (_C, tile_px, TB * tile_px),
+            lambda g, s, c: (0, g // per_row, g % per_row)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((_C, H, W), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=I * P * 2 * (_F + _C),
+            bytes_accessed=(I * _FW + _C * H * W) * 4,
+            transcendentals=I * P,
+        ),
+    )(starts, counts, gfeat)
+
+
+def _fwd_full(static, starts, counts, gfeat):
+    """Forward returning the full [C, H, W] image: the direct-layout kernel
+    when the geometry allows, else the [T, C, P] kernel + XLA untile."""
+    tile_px, tiles_x, H, W = static[0], static[4], static[7], static[8]
+    if _fwd_direct_ok(static):
+        return _fwd_pallas_direct(static, starts, counts, gfeat)
+    out_tiled = _fwd_pallas(static, starts, counts, gfeat)
+    return sc.untile_channels(out_tiled, tile_px, tiles_x, H, W, n_chan=_C)
 
 
 def _bwd_pallas(static, starts, counts, gfeat, g):
@@ -364,11 +446,8 @@ def _raster_fwd(static, gids, starts, counts, feat):
     transpose) and the backward's cotangent tiling consumes channel-major
     directly. The public entry transposes to the reference's HWC contract —
     a transpose the models' own [H,W,3]->[3,H,W] epilogue cancels."""
-    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned = static
     gfeat = _gather(static, gids, feat)
-    out_tiled = _fwd_pallas(static, starts, counts, gfeat)
-    full = sc.untile_channels(out_tiled, tile_px, tiles_x, H, W,
-                              n_chan=_C)
+    full = _fwd_full(static, starts, counts, gfeat)
     return (full[:3], full[3]), (gids, starts, counts, feat)
 
 
@@ -499,9 +578,7 @@ def rasterize_gaussians_sum_chw(
               float(cfg.q_cut), sp.tiles_x, sp.T,
               sc.use_interpret(cfg), H, W, sp.I, sp.aligned)
     gfeat = _gather(static, sp.gids, feat)
-    out_tiled = _fwd_pallas(static, sp.starts, sp.counts, gfeat)
-    full = sc.untile_channels(out_tiled, cfg.tile_px, sp.tiles_x, H, W,
-                              n_chan=_C)
+    full = _fwd_full(static, sp.starts, sp.counts, gfeat)
     aux = {"n_dropped": sp.n_dropped,
            "max_per_tile_used": sp.counts.max()}
     return full[:3], full[3], aux
@@ -562,8 +639,7 @@ def rasterize_from_keys_chw(
     static = (tp, TB, cfg.block_inst, float(cfg.q_cut), tiles_x, T,
               sc.use_interpret(cfg), H, W, I, False)
     gfeat = _gather(static, gids, feat)
-    out_tiled = _fwd_pallas(static, starts, counts, gfeat)
-    full = sc.untile_channels(out_tiled, tp, tiles_x, H, W, n_chan=_C)
+    full = _fwd_full(static, starts, counts, gfeat)
     n_dropped = (trunc + jnp.maximum(n_total - I, 0)).astype(jnp.int32)
     aux = {"n_dropped": n_dropped, "max_per_tile_used": counts.max()}
     return full[:3], full[3], aux
