@@ -139,8 +139,7 @@ def _chunk_geom(g, tx0, ty0):
 
 def _tile_acc(starts_ref, counts_ref, gfeat_ref, t, X, Y,
               *, tile_px, bk, q_cut, tiles_x, aligned):
-    """Accumulated [C, P] sum for one tile (shared by the [T, C, P]-layout
-    and the direct [C, H, W]-layout forward kernels)."""
+    """Accumulated [C, P] sum for one tile."""
     P = tile_px * tile_px
     start = starts_ref[t]
     blk0 = start // bk
@@ -190,27 +189,6 @@ def _fwd_kernel(starts_ref, counts_ref, gfeat_ref, out_ref,
         return 0
 
     jax.lax.fori_loop(0, tb, tile_body, 0)
-
-
-def _fwd_kernel_direct(starts_ref, counts_ref, gfeat_ref, out_ref,
-                       *, tile_px, tb, bk, q_cut, tiles_x, aligned):
-    """Forward that writes the IMAGE-layout [C, tile_px, tb*tile_px] block
-    (tb consecutive tiles of one tile row) — the image leaves the kernel in
-    its final [C, H, W] layout, skipping XLA's tiled->channel relayout
-    (~59 us/frame of pure data movement at 768x512, PROFILE_r04 decode:
-    reshape.47 + copy_bitcast_fusion.2 + slice_clamp + reshape.48). The
-    tile loop is UNROLLED so the lane-dim store offsets are static."""
-    tp = tile_px
-    P = tp * tp
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    X = (pidx % tp).astype(jnp.float32)
-    Y = (pidx // tp).astype(jnp.float32)
-    g0 = pl.program_id(0)
-    for i in range(tb):
-        acc = _tile_acc(starts_ref, counts_ref, gfeat_ref, g0 * tb + i,
-                        X, Y, tile_px=tp, bk=bk, q_cut=q_cut,
-                        tiles_x=tiles_x, aligned=aligned)
-        out_ref[:, :, i * tp:(i + 1) * tp] = acc.reshape(_C, tp, tp)
 
 
 def _bwd_chunk_store(gfeat_ref, dgfeat_ref, G, blk0, start, ci, count,
@@ -314,15 +292,6 @@ def _stream_spec(I, BK, aligned):
     return pl.BlockSpec((I + BK, _FW), lambda g, s, c: (0, 0))
 
 
-def _fwd_direct_ok(static) -> bool:
-    """The direct [C, H, W]-layout forward applies when the image is an
-    exact tile grid and each grid step's TB consecutive tiles stay inside
-    one tile row (then T == tiles_x * tiles_y and TB | T)."""
-    tile_px, TB = static[0], static[1]
-    tiles_x, H, W = static[4], static[7], static[8]
-    return (H % tile_px == 0 and W % tile_px == 0 and tiles_x % TB == 0)
-
-
 def _fwd_pallas(static, starts, counts, gfeat):
     tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned = static
     P = tile_px * tile_px
@@ -349,45 +318,17 @@ def _fwd_pallas(static, starts, counts, gfeat):
     )(starts, counts, gfeat)
 
 
-def _fwd_pallas_direct(static, starts, counts, gfeat):
-    """Forward writing [C, H, W] directly (see _fwd_kernel_direct). Grid
-    step g covers tiles [g*TB, (g+1)*TB) — one [C, tile_px, TB*tile_px]
-    image block at tile-row g // (tiles_x//TB), block-col g % (tiles_x//TB)."""
-    tile_px, TB, BK, q_cut, tiles_x, T, interpret, H, W, I, aligned = static
-    P = tile_px * tile_px
-    per_row = tiles_x // TB
-    kern = functools.partial(_fwd_kernel_direct, tile_px=tile_px, tb=TB,
-                             bk=BK, q_cut=q_cut, tiles_x=tiles_x,
-                             aligned=aligned)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T // TB,),
-        in_specs=[_stream_spec(I, BK, aligned)],
-        out_specs=pl.BlockSpec(
-            (_C, tile_px, TB * tile_px),
-            lambda g, s, c: (0, g // per_row, g % per_row)),
-    )
-    return pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((_C, H, W), jnp.float32),
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=I * P * 2 * (_F + _C),
-            bytes_accessed=(I * _FW + _C * H * W) * 4,
-            transcendentals=I * P,
-        ),
-    )(starts, counts, gfeat)
-
-
 def _fwd_full(static, starts, counts, gfeat):
-    """Forward returning the full [C, H, W] image: the direct-layout kernel
-    when the geometry allows, else the [T, C, P] kernel + XLA untile."""
+    """Forward returning the full [C, H, W] image: the [T, C, P] kernel +
+    XLA untile. A direct [C, H, W]-layout kernel (round 4) is NOT possible:
+    the epilogue needs a lane->sublane split (`[C, P] -> [C, tp, tp]`
+    with tp < 128 lanes) that Mosaic cannot lower (`infer-vector-layout:
+    unsupported shape cast`), for any store granularity — full-block,
+    lane-sliced, or pl.ds variants all fail to compile (probed on v5e,
+    round 5). The XLA untile is a measured ~60 us/frame at 768x512
+    (PROFILE_r04 decode: reshape + copy_bitcast + slice_clamp), which is
+    the true relayout cost wherever it runs."""
     tile_px, tiles_x, H, W = static[0], static[4], static[7], static[8]
-    if _fwd_direct_ok(static):
-        return _fwd_pallas_direct(static, starts, counts, gfeat)
     out_tiled = _fwd_pallas(static, starts, counts, gfeat)
     return sc.untile_channels(out_tiled, tile_px, tiles_x, H, W, n_chan=_C)
 

@@ -46,6 +46,32 @@ def _opt_batched_mask(model, opt, batched_opt_state):
         batched_opt_state, template)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_replicated_cotangent(x, axis_name):
+    """``psum`` whose backward is the identity.
+
+    Inside shard_map with ``check_vma=False`` JAX cannot prove the
+    cotangent of a psum output is replicated, so autodiff transposes psum
+    into a SECOND psum — a redundant [H/t, W, 3] all-reduce per step that
+    doubles the gauss-axis wire bytes (found by
+    scripts/validate_collectives.py reconciling compiled HLO against
+    comm_accounting). Here the loss is computed identically on every gauss
+    shard from the psum'd image, so the incoming cotangent IS replicated
+    and the mathematically correct transpose is the identity."""
+    return jax.lax.psum(x, axis_name)
+
+
+def _psum_rc_fwd(x, axis_name):
+    return jax.lax.psum(x, axis_name), None
+
+
+def _psum_rc_bwd(axis_name, _, g):
+    return (g,)
+
+
+_psum_replicated_cotangent.defvjp(_psum_rc_fwd, _psum_rc_bwd)
+
+
 def sharded_render(model, mesh: Mesh, params_local, tile_idx, n_tiles: int):
     """Per-shard render of the local tile row-slice using the local Gaussian
     shard; returns ([H/t, W, 3], n_dropped) AFTER the gauss-axis psum. Call
@@ -60,7 +86,7 @@ def sharded_render(model, mesh: Mesh, params_local, tile_idx, n_tiles: int):
     img, _, aux = rasterize_gaussians_sum(
         xys - offset, conics, colors, opac, h_loc, cfg.W,
         radii=radii, config=cfg.raster)
-    img = jax.lax.psum(img, "gauss")
+    img = _psum_replicated_cotangent(img, "gauss")
     if not cfg.no_clamp:
         img = jnp.clip(img, 0.0, 1.0)
     return img, aux["n_dropped"]  # [h_loc, W, 3], scalar

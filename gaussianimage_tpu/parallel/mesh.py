@@ -64,8 +64,20 @@ def maybe_initialize_distributed() -> bool:
     is_init = getattr(jax.distributed, "is_initialized", None)
     if is_init is not None and is_init():
         return True
+    # generic launchers (no SLURM/OMPI cluster env JAX can auto-detect)
+    # describe the job explicitly: coordinator + process count + rank.
+    # jax.distributed.initialize() accepts these as kwargs but only
+    # auto-detects them for known cluster types, so pass them through.
+    kwargs = {}
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if addr and nproc is not None and pid is not None:
+        kwargs = dict(coordinator_address=addr, num_processes=int(nproc),
+                      process_id=int(pid))
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
         return True
     except RuntimeError:
         # initialize() raced something that already set up the backend (or

@@ -2,6 +2,8 @@
 sharded render == single-device render; sharded train step == single-device
 train step (allclose); scaling smoke across (data, gauss, tile) axes."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -172,3 +174,70 @@ def test_v5p_projection_math():
     proj_t = v5p_projection({"data": 1, "gauss": 1, "tile": 8},
                             shard_opt=True)
     assert proj_t["efficiency_no_overlap"] > 0.95
+
+
+def test_two_process_distributed_fit(tmp_path):
+    """REAL multi-process validation (VERDICT r4 #4/#9): two OS processes,
+    each with 2 virtual CPU devices, joined via jax.distributed.initialize
+    (exercised through maybe_initialize_distributed's env-driven path) into
+    one 4-device mesh whose per-step tile-axis gradient psum crosses the
+    process boundary (gloo). The fit must match the same program run
+    single-process."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out = tmp_path / "mp_params.npz"
+    repo = Path(__file__).resolve().parent.parent
+    procs = []
+    for pid in range(2):
+        env = dict(
+            PATH=os.environ.get("PATH", ""),
+            HOME=os.environ.get("HOME", "/root"),
+            PYTHONPATH=str(repo),
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            GITPU_PALLAS_INTERPRET="1",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            MP_OUT=str(out),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(repo / "tests" / "mp_worker.py")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    logs = []
+    for p in procs:
+        try:
+            log, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(log)
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{log[-4000:]}"
+    assert out.exists(), logs[0][-4000:]
+    got = np.load(out)
+
+    # single-process reference: identical program on 4 of the local devices
+    from gaussianimage_tpu.utils.image_io import synthetic_image
+    H, W, N = 64, 48, 256
+    model = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                       raster=RasterizeConfig(tile_px=16))
+    mesh = make_mesh({"data": 1, "gauss": 1, "tile": 4},
+                     devices=jax.devices()[:4])
+    images = synthetic_image(H, W, seed=0)
+    params, opt_state, gt = init_sharded_fit(model, mesh, images, seed=3)
+    step = make_sharded_train_step(model, mesh, n_steps=3)(
+        params, opt_state, gt)
+    params, _, loss, _, _ = step(params, opt_state, gt, jnp.asarray(1))
+    for k in params:
+        np.testing.assert_allclose(
+            got[k], np.asarray(params[k]), rtol=2e-4, atol=2e-5, err_msg=k)
+    np.testing.assert_allclose(got["loss"], np.asarray(loss), rtol=1e-4)
