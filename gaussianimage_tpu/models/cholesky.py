@@ -144,14 +144,14 @@ class GaussianImageCholesky(QuantizeMixin, GaussianModelBase):
         embed = extra["vq"].embed  # [nq, K, 3]
         combined = (embed[0][:, None, :] + embed[1][None, :, :]
                     ).reshape(-1, embed.shape[-1])
-        img, _, _ = fused_decode_cholesky(
+        img, _, aux = fused_decode_cholesky(
             jnp.asarray(enc["xyz"], jnp.float32),
             jnp.asarray(enc["quant_cholesky"]),
             params["cholesky_quant_scale"], params["cholesky_quant_beta"],
             CHOLESKY_BOUND, jnp.asarray(enc["feature_dc_index"]),
             combined, cfg.H, cfg.W, cfg.raster)
         img = jnp.clip(img, 0.0, 1.0)
-        return {"render": img[None]}
+        return {"render": img[None], "raster_aux": aux}
 
     def fused_decode_batch(self, params_b, extra_b, enc_b):
         """Batched decode (batched.py contract: leaves carry a leading [B]

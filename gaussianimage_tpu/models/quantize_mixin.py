@@ -169,9 +169,10 @@ class QuantizeMixin:
 
     def decompress_wo_ec(self, params, extra, enc: Dict) -> Dict:
         means, geo, colors = self.dequantize_wo_ec(params, extra, enc)
-        img, alpha, _ = self._rasterize_quantized(params, means, geo, colors)
+        img, alpha, aux = self._rasterize_quantized(params, means, geo,
+                                                    colors)
         img = jnp.clip(img, 0.0, 1.0)
-        return {"render": img.transpose(2, 0, 1)[None]}
+        return {"render": img.transpose(2, 0, 1)[None], "raster_aux": aux}
 
     def compress(self, params, extra) -> Dict:
         """With rANS entropy coding (reference :210-219)."""

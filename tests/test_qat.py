@@ -189,3 +189,21 @@ def test_mask_prune_qat_compress_roundtrip():
     enc2 = m2.compress(st2.params, st2.extra)
     out2 = m2.decompress(st2.params, st2.extra, enc2)["render"]
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_serving_config_decode_matches_default(qat_setup):
+    """RasterizeConfig.serving (tight 3N stream + fused prep) must decode
+    the SAME image as the default config — the cap only shrinks the sort
+    and window-bounds glue; any overflow must surface in raster_aux."""
+    model, state, gt, _ = qat_setup
+    cfg = model.cfg
+    enc = model.compress_wo_ec(state.params, state.extra)
+    ref = model.decompress_wo_ec(state.params, state.extra, enc)
+    m_s = make_model("GaussianImage_Cholesky", num_points=cfg.num_points,
+                     H=cfg.H, W=cfg.W, quantize=True,
+                     raster=RasterizeConfig.serving(cfg.num_points))
+    out = m_s.decompress_wo_ec(state.params, state.extra, enc)
+    assert int(np.asarray(out["raster_aux"]["n_dropped"])) == 0
+    np.testing.assert_allclose(np.asarray(out["render"]),
+                               np.asarray(ref["render"]),
+                               rtol=2e-5, atol=2e-5)
