@@ -583,13 +583,8 @@ def rasterize_from_keys_chw(
     dead = skey == jnp.int32(2 ** 31 - 1)
     gids = jnp.where(dead, N, srank)
     queries = jnp.arange(T_real + 1, dtype=jnp.int32) << id_bits
-    if (T_real + 1) * I <= 32_000_000:
-        bounds = jnp.sum(skey[None, :] < queries[:, None],
-                         axis=1).astype(jnp.int32)
-    else:
-        bounds = jnp.minimum(
-            jnp.searchsorted(skey, queries, method="scan_unrolled"),
-            I).astype(jnp.int32)
+    from gaussianimage_tpu.ops.tiles import sorted_window_bounds
+    bounds = sorted_window_bounds(skey, queries)  # [T_real+1], <= I
     starts = (jnp.concatenate(
         [bounds, jnp.full((T - T_real,), bounds[-1], jnp.int32)])
         if T > T_real else bounds)

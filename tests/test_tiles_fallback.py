@@ -26,3 +26,24 @@ def test_pair_sort_fallback_matches_packed():
     sr_a = np.asarray(packed[0])[~np.asarray(packed[1])]
     sr_b = np.asarray(pair[0])[~np.asarray(pair[1])]
     np.testing.assert_array_equal(sr_a, sr_b)
+
+
+def test_sorted_window_bounds_matches_searchsorted():
+    """The blocked two-level bounds must equal searchsorted 'left' for any
+    sorted key array: random keys with duplicates + INT32_MAX dead tails,
+    lengths off the block size, queries below/between/above."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gaussianimage_tpu.ops.tiles import sorted_window_bounds
+
+    rng = np.random.default_rng(0)
+    for L in (7, 512, 513, 4096, 40960 - 3):
+        keys = np.sort(rng.integers(0, 2 ** 20, size=L)).astype(np.int32)
+        keys[-max(1, L // 10):] = np.int32(2 ** 31 - 1)  # dead tail
+        queries = np.unique(
+            np.concatenate([rng.integers(0, 2 ** 20, size=100),
+                            [0, 2 ** 20, 2 ** 30]])).astype(np.int32)
+        got = np.asarray(sorted_window_bounds(jnp.asarray(keys),
+                                              jnp.asarray(queries)))
+        want = np.searchsorted(keys, queries, side="left")
+        np.testing.assert_array_equal(got, want, err_msg=f"L={L}")
