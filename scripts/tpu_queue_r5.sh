@@ -25,11 +25,11 @@ run() {
 }
 
 QT=1200 run gate python scripts/tpu_compile_check.py
-QT=600  run numcheck python /tmp/tpu_check.py
-QT=7200 run lowbpp bash scripts/gaussianimage_cholesky/photos_lowbpp.sh
-QT=5400 run anchor bash scripts/gaussianimage_cholesky/photos_anchor.sh
+QT=1800 run numcheck python scripts/tpu_numcheck.py
+QT=1800 run bench python bench.py
 QT=3600 run fps_vs_n python scripts/fps_vs_n.py
 QT=2400 run ab_batched python scripts/ab_batched_regime.py
+QT=7200 run lowbpp bash scripts/gaussianimage_cholesky/photos_lowbpp.sh
+QT=5400 run anchor bash scripts/gaussianimage_cholesky/photos_anchor.sh
 QT=2400 run profile python scripts/profile_breakdown.py r05
-QT=1800 run bench python bench.py
 echo "$(date +%T) QUEUE COMPLETE" >> /tmp/queue/queue.log
