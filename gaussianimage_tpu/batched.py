@@ -120,3 +120,42 @@ def decompress_wo_ec_batch(model, params_b, extra_b, enc_b
     *flat, band = _stack_splats(model, splats)
     img, _, aux = _raster_stacked(model, tuple(flat), band)
     return {"render": img, "raster_aux": aux}
+
+
+# Measured crossover between the stacked one-pass decode and a rolled scan
+# of single-frame decodes (results/ab/batched_regime.json, real TPU, fused
+# prep both sides): stacking amortizes the fixed per-frame costs (op
+# launches, small-grid underutilization) and wins at small frames (+19% at
+# 128^2, +5% at 256^2) but pays superlinear glue (bigger binning sort,
+# bigger window-bounds pass) and loses at 768x512 (-12%). The gate routes
+# each frame size to its measured winner.
+BATCHED_WIN_MAX_PIXELS = 131072  # ~between 256^2 (wins) and 512x768 (loses)
+
+
+def prefer_batched(H: int, W: int) -> bool:
+    """True when the stacked one-pass decode beats per-frame decodes at
+    this frame size (measured regime, see BATCHED_WIN_MAX_PIXELS)."""
+    return H * W <= BATCHED_WIN_MAX_PIXELS
+
+
+def decode_many(model, params_b, extra_b, enc_b, *,
+                force: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+    """Decode B encodings (leaves stacked on axis 0) by whichever strategy
+    measures faster at this frame size: ONE stacked rasterizer pass
+    (decompress_wo_ec_batch) for small frames, a rolled ``lax.map`` of
+    single-frame decodes (still one dispatch) for large ones.
+
+    ``force`` pins the strategy ("batched" | "scan") for tests/probes.
+    Returns {"render": [B, 3, H, W], "raster_aux": ...}."""
+    use_batched = (prefer_batched(model.cfg.H, model.cfg.W)
+                   if force is None else force == "batched")
+    if use_batched:
+        return decompress_wo_ec_batch(model, params_b, extra_b, enc_b)
+
+    def one(args):
+        p, ex, e = args
+        out = model.decompress_wo_ec(p, ex, e)
+        return out["render"][0], out.get("raster_aux")
+
+    imgs, aux = jax.lax.map(one, (params_b, extra_b, enc_b))
+    return {"render": imgs, "raster_aux": aux}

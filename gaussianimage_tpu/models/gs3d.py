@@ -68,7 +68,8 @@ class Gaussian3D(GaussianModelBase):
         # make_model("3DGS", raster=RasterizeConfig(fused_prep=True))
         # switches the serving render to the one-pass prep kernel
         self.blend_cfg = BlendConfig(tile_px=32, max_tiles_per_gauss=36,
-                                     fused_prep=config.raster.fused_prep)
+                                     fused_prep=config.raster.fused_prep,
+                                     interpret=config.raster.interpret)
 
     def init_params(self, key: jax.Array, gt_image=None
                     ) -> Dict[str, jnp.ndarray]:

@@ -152,24 +152,25 @@ def parse_args(argv):
 def batched_dataset_decode_fps(evaluators, reps: int = 3,
                                scan_len: int = 16):
     """Whole-dataset decode: stack every same-shape image's (params, vq
-    state, code arrays) and decode them through ONE batched rasterizer pass
-    (batched.py — the fused batched prep kernel when supported). This is
-    the serving configuration — the per-frame op-launch floor (~0.1 ms on
-    axon) amortizes over the batch, and the probe is a ROLLED scan of
-    ``scan_len`` batched decodes per dispatch (sub-ulp-perturbed quantizer
-    scale, every frame consumed) so the sync-dispatch tax amortizes like
-    the single-frame probe's. Returns (total_frames, frames_per_second)
-    over the largest shape group."""
+    state, code arrays) and decode them in one dispatch per scan step,
+    routed by the measured frame-size regime (batched.py decode_many:
+    ONE stacked rasterizer pass where stacking wins — small frames — and
+    a rolled per-frame map where it doesn't; results/ab/batched_regime.json).
+    The probe is a ROLLED scan of ``scan_len`` dataset decodes per dispatch
+    (sub-ulp-perturbed quantizer scale, every frame consumed) so the
+    sync-dispatch tax amortizes like the single-frame probe's. Returns
+    (total_frames, frames_per_second, strategy) over the largest shape
+    group."""
     import dataclasses
 
-    from gaussianimage_tpu.batched import decompress_wo_ec_batch
+    from gaussianimage_tpu.batched import decode_many, prefer_batched
 
     groups = {}
     for ev in evaluators:
         groups.setdefault((ev.H, ev.W), []).append(ev)
     evs = max(groups.values(), key=len)
     if len(evs) < 2:
-        return len(evs), None
+        return len(evs), None, None
     model = evs[0].model
     model_f = type(model)(dataclasses.replace(
         model.cfg, raster=model.cfg.raster._replace(fused_prep=True)))
@@ -185,7 +186,7 @@ def batched_dataset_decode_fps(evaluators, reps: int = 3,
         def body(acc, i):
             p = dict(pb)
             p[scale_key] = p[scale_key] + 1e-30 * i.astype(jnp.float32)
-            img = decompress_wo_ec_batch(model_f, p, xb, eb)["render"]
+            img = decode_many(model_f, p, xb, eb)["render"]
             return acc + img[:, 0, 0, 0].sum(), None
 
         return jax.lax.scan(body, jnp.float32(0.0),
@@ -199,7 +200,9 @@ def batched_dataset_decode_fps(evaluators, reps: int = 3,
         out = fn(params_b, extra_b, enc_b)
     jax.block_until_ready(out)
     dt = (time.time() - t0) / (reps * scan_len)
-    return len(evs), len(evs) / dt
+    strategy = ("batched" if prefer_batched(model.cfg.H, model.cfg.W)
+                else "scan")
+    return len(evs), len(evs) / dt, strategy
 
 
 def main(argv):
@@ -230,10 +233,11 @@ def main(argv):
         "Average: PSNR:{:.4f}, MS-SSIM:{:.4f}, bpp:{:.4f}, FPS:{:.4f}, "
         "position_bpp:{:.4f}, cholesky_bpp:{:.4f}, feature_dc_bpp:{:.4f}".format(
             *arr.mean(axis=0)))
-    b, fps = batched_dataset_decode_fps(evaluators)
+    b, fps, strategy = batched_dataset_decode_fps(evaluators)
     if fps is not None:
         logwriter.write(
-            "Batched decode ({} frames/pass): {:.1f} FPS".format(b, fps))
+            "Dataset decode ({} frames/pass, {} strategy): {:.1f} FPS"
+            .format(b, strategy, fps))
 
 
 if __name__ == "__main__":

@@ -89,7 +89,10 @@ def main():
         qstate = qmodel.init_state(jax.random.PRNGKey(2))
         qparams = dict(qstate.params)
         for k, v in state.params.items():
-            qparams[k] = v
+            # COPY: qchunk donates its whole input pytree; aliasing the fit
+            # params here would delete the buffers the render bursts below
+            # still read (r05 queue crash: "Array has been deleted")
+            qparams[k] = jnp.copy(v)
         qstate = qstate._replace(params=qparams)
         qstate = qmodel.init_quantizer_data(qstate)
         qchunk = jax.jit(

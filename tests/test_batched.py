@@ -77,6 +77,42 @@ def test_decode_batch_matches_per_frame():
                                    np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+def test_decode_many_routes_by_regime_and_matches():
+    """decode_many (the regime-gated dataset-decode API) must equal the
+    per-frame decodes under BOTH strategies, and the default route must
+    follow the measured frame-size gate (prefer_batched)."""
+    model = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                       quantize=True)
+    gt = jnp.asarray(synthetic_image(H, W, seed=0))
+    states, encs = [], []
+    for s in range(B):
+        st = model.init_state(jax.random.PRNGKey(s))
+        st = model.init_quantizer_data(st)
+        st, _ = model.train_chunk(st, gt, jax.random.PRNGKey(s + 7),
+                                  jnp.asarray(1), 20)
+        states.append(st)
+        encs.append(jax.tree.map(jnp.asarray,
+                                 model.compress_wo_ec(st.params, st.extra)))
+    pb = jax.tree.map(lambda *xs: jnp.stack(xs), *[s.params for s in states])
+    eb = jax.tree.map(lambda *xs: jnp.stack(xs), *[s.extra for s in states])
+    encb = jax.tree.map(lambda *xs: jnp.stack(xs), *encs)
+
+    refs = np.stack([
+        np.asarray(model.decompress_wo_ec(states[b].params, states[b].extra,
+                                          encs[b])["render"][0])
+        for b in range(B)])
+    for force in ("batched", "scan"):
+        out = batched.decode_many(model, pb, eb, encb, force=force)
+        assert out["render"].shape == (B, 3, H, W), force
+        np.testing.assert_allclose(np.asarray(out["render"]), refs,
+                                   atol=1e-5, rtol=1e-5, err_msg=force)
+
+    # the gate: small frames -> batched; the flagship 768x512 -> scan
+    assert batched.prefer_batched(H, W)  # 64x96 is deep in the win regime
+    assert batched.prefer_batched(256, 256)
+    assert not batched.prefer_batched(512, 768)
+
+
 def test_blockize_roundtrip():
     from gaussianimage_tpu.ops import stream_common as sc
 

@@ -40,8 +40,9 @@ def test_batched_dataset_decode_matches_per_frame(tmp_path):
     evs = [_evaluator(tmp_path, i, f"im{i}") for i in range(3)]
     for ev in evs:
         ev.test()
-    b, fps = batched_dataset_decode_fps(evs, reps=1)
+    b, fps, strategy = batched_dataset_decode_fps(evs, reps=1)
     assert b == 3 and fps is not None and fps > 0
+    assert strategy in ("batched", "scan")
 
     # the batched pass must render the same frames as per-frame decodes
     from gaussianimage_tpu.batched import decompress_wo_ec_batch
