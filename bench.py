@@ -145,17 +145,30 @@ def main():
         state_a, metrics_a = chunk_a(state_a, gt, jnp.asarray(i * 500 + 1))
     jax.block_until_ready(state_a.params)
 
+    # serving-config render twin: fused prep + tight 3N stream / span-9
+    # binning (same image, overflow asserted zero below) — the inference
+    # config the decode probe already uses
+    model_rs = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W,
+                          raster=RasterizeConfig.serving(N))
+
     render = jax.jit(lambda p: model.render(p)["render"])
     burst = make_burst(lambda q: model.render(q)["render"], "_xyz")
     burst_fast = make_burst(model_f.render_fast, "_xyz")
+    burst_serving = make_burst(model_rs.render_fast, "_xyz")
+    nd_render = jax.jit(
+        lambda p: model_rs.render(p)["raster_aux"]["n_dropped"])
 
     # compile everything, then poison dispatch ONCE (fence between the
     # pipelined-warmup world and the timed sync world)
     img = render(state.params)
     out = burst(state.params)
     out_f = burst_fast(state.params)
-    jax.block_until_ready((img, out, out_f))
+    out_s = burst_serving(state.params)
+    nd_r = nd_render(state.params)
+    jax.block_until_ready((img, out, out_f, out_s))
     _ = np.asarray(img)
+    assert int(np.asarray(nd_r)) == 0, (
+        "serving render config overflowed on the bench scene")
 
     # 3 repeats per probe: the spread distinguishes pool variance from real
     # regressions (VERDICT r3 weak #2)
@@ -163,8 +176,10 @@ def main():
                    for _ in range(3)]
     rep_fast = [1.0 / (_time_calls(burst_fast, state.params) / BURST)
                 for _ in range(3)]
+    rep_serving = [1.0 / (_time_calls(burst_serving, state.params) / BURST)
+                   for _ in range(3)]
     fps_generic = max(rep_generic)
-    fps = max(fps_generic, max(rep_fast))  # best inference render
+    fps = max(fps_generic, max(rep_fast), max(rep_serving))  # best inference
     dt_burst = 1.0 / fps
     dt_single = _time_calls(render, state.params, calls=50)
 
@@ -338,6 +353,8 @@ def main():
                   "render_fps_generic_reps": [round(r, 1)
                                               for r in rep_generic],
                   "render_fps_fused_reps": [round(r, 1) for r in rep_fast],
+                  "render_fps_serving_reps": [round(r, 1)
+                                              for r in rep_serving],
                   "decode_fps": round(1e3 / decode_ms, 1),
                   "decode_fps_100frame_burst": round(1e3 / decode_f_ms, 1),
                   "decode_fps_generic": round(1e3 / decode_g_ms, 1),
@@ -346,8 +363,8 @@ def main():
                   "blend_3dgs_fps_generic": round(1e3 / blend_g_ms, 1),
                   "decode_scene": decode_scene,
                   "headline_note": ("value = best inference render "
-                                    "(fused splat-prep render_fast vs "
-                                    "generic; both in extras)"),
+                                    "(serving config / fused splat-prep / "
+                                    "generic; all reps in extras)"),
                   "scene": "china_768x512 (real photo)",
                   "backend": jax.default_backend()},
     }))

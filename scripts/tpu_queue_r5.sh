@@ -19,9 +19,11 @@ echo "$(date +%T) pool up, starting queue" >> /tmp/queue/queue.log
 
 run() {
   name=$1; shift
+  local rc
   echo "$(date +%T) START $name" >> /tmp/queue/queue.log
   timeout "$QT" "$@" > /tmp/queue/$name.log 2>&1
-  echo "$(date +%T) DONE $name rc=$?" >> /tmp/queue/queue.log
+  rc=$?   # capture BEFORE the $(date) substitution below clobbers $?
+  echo "$(date +%T) DONE $name rc=$rc" >> /tmp/queue/queue.log
 }
 
 QT=1200 run gate python scripts/tpu_compile_check.py
