@@ -96,9 +96,20 @@ class RasterizeConfig(NamedTuple):
         45.8 us + bounds 55.0 us of the 403 us fused decode frame).
         Overflow is still counted in aux["n_dropped"] — callers serving
         scenes denser than 3 tiles/gaussian should pass a bigger
-        ``max_instances`` override."""
-        cap = -(-3 * num_points // 64) * 64
-        kw = dict(fused_prep=True, max_instances=cap, max_tiles_per_gauss=9)
+        ``max_instances`` override.
+
+        Inference also raises the flat-stream ceiling to 196608 instances
+        (the batched path's VMEM-budget bound, batched.py: I*512 B padded
+        ~= 96 MiB; proven on hardware by the B=6 x 10k batched decode's
+        180k-instance flat stream). The 65536 default protects the
+        TRAINING backward, which carries gradient scratch on top of the
+        stream; forward-only serving has no such pressure, and staying on
+        the flat layout through the reference's full 10k-70k sweep avoids
+        the ~2.5x aligned-block-layout penalty (results/fps_vs_n.json:
+        544 -> ~1200 FPS class at 20k points)."""
+        cap = min(-(-3 * num_points // 64) * 64, 196608)
+        kw = dict(fused_prep=True, max_instances=cap, max_tiles_per_gauss=9,
+                  flat_stream_limit=196608)
         kw.update(overrides)
         return RasterizeConfig(**kw)
 

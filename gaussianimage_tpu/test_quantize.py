@@ -35,6 +35,16 @@ class CodecEvaluator2d:
         self.model = make_model(
             model_name, num_points=num_points, H=self.H, W=self.W,
             loss_type="L2", quantize=True)
+        # serving twin for the decode-FPS probe: fused splat prep + tight
+        # 3N stream + the forward-only 196608 flat-stream ceiling
+        # (RasterizeConfig.serving) — identical output, parity-pinned;
+        # test() falls back to the default config if the scene overflows
+        # the tight stream
+        from gaussianimage_tpu.ops import RasterizeConfig
+        self.model_s = make_model(
+            model_name, num_points=num_points, H=self.H, W=self.W,
+            loss_type="L2", quantize=True,
+            raster=RasterizeConfig.serving(num_points))
         self.log_dir = Path(log_dir) if log_dir is not None else Path("./eval")
         self.logwriter = LogWriter(self.log_dir, train=False)
         self.state = self.model.init_state(jax.random.PRNGKey(1))
@@ -67,13 +77,18 @@ class CodecEvaluator2d:
         # the reference's 100x decompress loop with CUDA's async launch
         # queue (test_quantize.py:71-74); per-call sync dispatch on this
         # runtime would otherwise bill ~0.5 ms/frame of launch tax
+        nd = jax.jit(lambda p, x, e: self.model_s.decompress_wo_ec(
+            p, x, e)["raster_aux"]["n_dropped"])(params, extra, enc_dev)
+        probe_model = (self.model_s if int(np.asarray(nd)) == 0
+                       else self.model)
+
         def burst(p, x, e):
             def body(acc, i):
                 q = dict(p)
                 for k in q:
                     if k.endswith("_quant_scale"):
                         q[k] = q[k] + 1e-30 * i.astype(jnp.float32)
-                img = self.model.decompress_wo_ec(q, x, e)["render"]
+                img = probe_model.decompress_wo_ec(q, x, e)["render"]
                 return acc + img[0, 0, 0, 0], None
             acc, _ = jax.lax.scan(body, jnp.float32(0.0),
                                   jnp.arange(1, 101, dtype=jnp.int32))

@@ -67,9 +67,12 @@ def main():
     poisoned = False
     for N in (10000, 20000, 40000, 70000):
         fused = RasterizeConfig(fused_prep=True)
+        serving = RasterizeConfig.serving(N)
         model = make_model("GaussianImage_Cholesky", num_points=N, H=H, W=W)
         model_f = make_model("GaussianImage_Cholesky", num_points=N, H=H,
                              W=W, raster=fused)
+        model_s = make_model("GaussianImage_Cholesky", num_points=N, H=H,
+                             W=W, raster=serving)
         state = model.init_state(jax.random.PRNGKey(1))
         chunk = jax.jit(
             lambda st, g, s, m=model: m.train_chunk(st, g, None, s, 500),
@@ -80,6 +83,9 @@ def main():
 
         burst = make_burst(lambda q, m=model: m.render(q)["render"], "_xyz")
         burst_f = make_burst(model_f.render_fast, "_xyz")
+        burst_s = make_burst(model_s.render_fast, "_xyz")
+        nd_s = jax.jit(
+            lambda p, m=model_s: m.render(p)["raster_aux"]["n_dropped"])
 
         # decode: mini-QAT of the fitted scene (same fallback bench.py uses)
         qmodel = make_model("GaussianImage_Cholesky", num_points=N, H=H,
@@ -121,27 +127,43 @@ def main():
 
             return jax.jit(burst_fn)
 
+        qmodel_s = make_model("GaussianImage_Cholesky", num_points=N, H=H,
+                              W=W, quantize=True,
+                              raster=RasterizeConfig.serving(N))
         dburst = dburst_of(qmodel_f)
+        dburst_s = dburst_of(qmodel_s)
         bundle = (qstate.params, qstate.extra, enc)
-        outs = (burst(state.params), burst_f(state.params), dburst(bundle))
+        outs = (burst(state.params), burst_f(state.params),
+                burst_s(state.params), dburst(bundle), dburst_s(bundle))
+        nd = nd_s(state.params)
         jax.block_until_ready(outs)
         if not poisoned:
             _ = np.asarray(outs[0])  # sync-dispatch fence, once
             poisoned = True
+        n_dropped_serving = int(np.asarray(nd))
 
         fps_r = max(1.0 / (time_calls(burst, state.params) / BURST)
                     for _ in range(3))
         fps_rf = max(1.0 / (time_calls(burst_f, state.params) / BURST)
                      for _ in range(3))
+        fps_rs = max(1.0 / (time_calls(burst_s, state.params) / BURST)
+                     for _ in range(3))
         fps_d = max(1.0 / (time_calls(dburst, bundle) / BURST)
                     for _ in range(3))
+        fps_ds = max(1.0 / (time_calls(dburst_s, bundle) / BURST)
+                     for _ in range(3))
         from gaussianimage_tpu.ops.stream_common import stream_caps
         _, _, aligned = stream_caps(N, model.cfg.raster)
+        _, _, aligned_s = stream_caps(N, model_s.cfg.raster)
         row = {"N": N,
                "render_fps": round(fps_r, 1),
                "render_fps_fused": round(fps_rf, 1),
+               "render_fps_serving": round(fps_rs, 1),
                "decode_fps_fused": round(fps_d, 1),
-               "stream_layout": "aligned" if aligned else "flat"}
+               "decode_fps_serving": round(fps_ds, 1),
+               "stream_layout": "aligned" if aligned else "flat",
+               "stream_layout_serving": "aligned" if aligned_s else "flat",
+               "n_dropped_serving": n_dropped_serving}
         print(json.dumps(row), flush=True)
         rows.append(row)
 

@@ -80,6 +80,14 @@ def entries():
            (jax.tree.map(stack, qp), jax.tree.map(stack, qe),
             jax.tree.map(stack, enc_s)))
 
+    # largest serving shape: 70k points on the raised 196608-instance flat
+    # stream (the reference's sweep ceiling; serving keeps the flat layout
+    # through the whole 10k-70k range)
+    big = make_model("GaussianImage_Cholesky", num_points=70000, H=H, W=W,
+                     raster=RasterizeConfig.serving(70000))
+    bstate = big.init_state(jax.random.PRNGKey(5))
+    yield ("render_serving_70k", big.render_fast, (shapes_of(bstate.params),))
+
     rs = make_model("GaussianImage_RS", num_points=N, H=H, W=W)
     rstate = rs.init_state(jax.random.PRNGKey(2))
     yield ("rs_render", lambda q: rs.render(q)["render"],

@@ -47,3 +47,24 @@ def test_sorted_window_bounds_matches_searchsorted():
                                               jnp.asarray(queries)))
         want = np.searchsorted(keys, queries, side="left")
         np.testing.assert_array_equal(got, want, err_msg=f"L={L}")
+
+
+def test_serving_config_stays_on_flat_stream_through_sweep():
+    """The serving config must keep the fast flat [I,16] stream layout
+    through the reference's whole 10k-70k sweep (RasterizeConfig.serving
+    raises the forward-only flat ceiling to 196608; the training default
+    keeps 65536 because its backward carries a same-size gradient stream).
+    The aligned block layout is ~2x slower per instance
+    (results/fps_vs_n.json) — a regression here is a serving perf cliff."""
+    from gaussianimage_tpu.ops import RasterizeConfig
+    from gaussianimage_tpu.ops.stream_common import stream_caps
+
+    for n in (10000, 20000, 40000, 70000):
+        cfg = RasterizeConfig.serving(n)
+        cap, span, aligned = stream_caps(n, cfg)
+        assert not aligned, (n, cap)
+        assert cap <= 196608, (n, cap)
+        assert cap % cfg.block_inst == 0, (n, cap)
+    # the training default still switches above its backward-safe ceiling
+    _, _, aligned_default = stream_caps(40000, RasterizeConfig())
+    assert aligned_default
